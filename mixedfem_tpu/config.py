@@ -1,0 +1,83 @@
+"""Simulation and material configuration.
+
+Mirrors the reference scene/config vocabulary (reference: src/config.h:105-151)
+as frozen dataclasses so they can be closed over by jitted step functions.
+All fields that feed compiled code are Python scalars (static) or get baked
+into arrays at state-build time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def enu_to_lame(ym: float, pr: float) -> Tuple[float, float]:
+    """Young's modulus / Poisson ratio -> (lambda, mu).
+
+    Reference: src/config.h:13-16 (Enu_to_lame).
+    """
+    la = (ym * pr) / ((1.0 + pr) * (1.0 - 2.0 * pr))
+    mu = ym / (2.0 * (1.0 + pr))
+    return la, mu
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialConfig:
+    """Per-object material parameters (reference: src/config.h:143-151)."""
+
+    model: str = "stable-neohookean"  # registry name, see materials/__init__.py
+    ym: float = 1e6
+    pr: float = 0.45
+    density: float = 1000.0
+    thickness: float = 1e-3  # shells only
+
+    @property
+    def la(self) -> float:
+        return enu_to_lame(self.ym, self.pr)[0]
+
+    @property
+    def mu(self) -> float:
+        return enu_to_lame(self.ym, self.pr)[1]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Global simulation parameters (reference: src/config.h:105-140).
+
+    Defaults match the reference's SimConfig defaults.
+    """
+
+    h: float = 0.034                 # timestep dt
+    body_force: Tuple[float, float, float] = (0.0, -9.8, 0.0)
+    timesteps: int = 300
+    outer_steps: int = 5             # max Newton iterations per step
+    ls_iters: int = 20               # max line-search iterations
+    newton_tol: float = 1e-10
+    inertia_blend_factor: float = 1.0
+
+    # contact
+    contact_mu: float = 0.5          # friction coefficient
+    espv: float = 1e-3               # friction epsilon_v
+    kappa: float = 10.0              # barrier stiffness
+    enable_ccd: bool = False
+    dhat: float = 1e-2
+    max_contact_frames: int = 0      # static padded contact set size (0 = auto)
+
+    # solver
+    solver: str = "pcg"              # 'pcg' | 'direct' (host oracle)
+    max_iterative_solver_iters: int = 500
+    itr_tol: float = 1e-4
+
+    integrator: str = "BDF1"         # BDF1..BDF6
+    optimizer: str = "newton"
+
+    mixed_variables: Tuple[str, ...] = ("mixed-stretch", "mixed-collision")
+    variables: Tuple[str, ...] = ()
+
+    # numerics
+    dtype: str = "float64"           # compute dtype ('float32' on TPU benches)
+
+    show_data: bool = True
+    show_timing: bool = True
+    save_substeps: bool = False

@@ -1,0 +1,1 @@
+from mixedfem_tpu.ops import sym, rotation, psd, segsum
