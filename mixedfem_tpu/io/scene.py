@@ -1,0 +1,287 @@
+"""Scene loading: the reference's JSON scene vocabulary -> Simulation.
+
+Reference: src/simulation_state.cpp:96-405 (SimState<DIM>::load). The JSON
+schema is preserved: dt, body_force, time_integrator, linear_solver,
+enable_ccd, dhat, kappa, max_newton_iterations, max_linesearch_iterations,
+objects[{path, offset, transformation, initial_velocity, normalize,
+material_index, material_ids, boundary_condition, external_force}],
+material_models[{youngs_modulus, poissons_ratio, density, energy}],
+mixed_variables, variables, initial_state{x_path, v_path}.
+
+Multi-object scenes are concatenated into one global mesh (the reference's
+Meshes composite).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mixedfem_tpu.bc.boundary_conditions import BCConfig, BCSpec, BCState, build_bc
+from mixedfem_tpu.bc.external_force import ExtConfig, build_external_force
+from mixedfem_tpu.config import MaterialConfig, SimConfig, enu_to_lame
+from mixedfem_tpu.io import mesh_io
+from mixedfem_tpu.materials.models import model_index
+from mixedfem_tpu.mesh.mesh import MeshData, build_mesh_data
+from mixedfem_tpu.optimizer.newton import SimState, init_state, newton_step
+
+
+@dataclasses.dataclass
+class Simulation:
+    """A loaded scene: static data + initial state + step function."""
+
+    mesh: MeshData
+    config: SimConfig
+    bc_specs: Tuple[BCSpec, ...]
+    state: SimState
+    dim: int
+    # host-side metadata
+    obj_slices: List[slice]
+
+    def step(self) -> SimState:
+        self.state = newton_step(self.mesh, self.config, self.bc_specs, self.state)
+        return self.state
+
+    def run(self, n: Optional[int] = None):
+        for _ in range(n if n is not None else self.config.timesteps):
+            self.step()
+        return self.state
+
+
+def _resolve_path(path: str, scene_dir: str) -> str:
+    """Resolve model paths: the reference scenes use paths like
+    '../models/x.mesh' relative to a build directory inside the repo root,
+    i.e. relative to <scene_dir>/.. in practice. Try sensible candidates."""
+    candidates = [
+        path,
+        os.path.join(scene_dir, path),
+        os.path.join(scene_dir, "..", path),
+        os.path.join(scene_dir, "..", "..", path),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(f"cannot resolve mesh path '{path}' from {scene_dir}")
+
+
+def _load_object_mesh(path: str, dim: int, normalize: bool):
+    if dim == 2:
+        V, T = mesh_io.read_obj(path)
+        V, T = mesh_io.remove_unreferenced(V, T)
+        V = V[:, :2].copy()  # z-truncate (simulation_state.cpp:57-62)
+    else:
+        V, T, _ = mesh_io.read_mesh(path)
+        if normalize:
+            V = V / V.max()  # max-coeff normalization (:69-73)
+    return V, T
+
+
+def load_scene(
+    path_or_dict,
+    dim: int,
+    *,
+    dtype: Optional[str] = None,
+    overrides: Optional[dict] = None,
+) -> Simulation:
+    """Load a scene JSON file (or dict) into a Simulation."""
+    if isinstance(path_or_dict, dict):
+        args = dict(path_or_dict)
+        scene_dir = os.getcwd()
+    else:
+        with open(path_or_dict) as f:
+            args = json.load(f)
+        scene_dir = os.path.dirname(os.path.abspath(path_or_dict))
+    if overrides:
+        args.update(overrides)
+
+    # ---- global config (load_params, simulation_state.cpp:381-405)
+    cfg_kwargs = dict(
+        h=args.get("dt", 0.034),
+        body_force=tuple(args.get("body_force", (0.0, -9.8, 0.0))),
+        enable_ccd=args.get("enable_ccd", False),
+        dhat=args.get("dhat", 1e-2),
+        kappa=args.get("kappa", 10.0),
+        timesteps=args.get("timesteps", 300),
+        inertia_blend_factor=args.get("inertia_blend_factor", 1.0),
+        outer_steps=args.get("max_newton_iterations", 5),
+        ls_iters=args.get("max_linesearch_iterations", 20),
+        max_iterative_solver_iters=args.get("max_iterative_solver_iters", 500),
+        itr_tol=args.get("iterative_solver_tolerance", 1e-4),
+        integrator=args.get("time_integrator", "BDF1"),
+        optimizer=args.get("optimizer", "newton"),
+        mixed_variables=tuple(
+            args.get("mixed_variables", ("mixed-stretch", "mixed-collision"))
+        ),
+        variables=tuple(args.get("variables", ())),
+        show_data=args.get("print_stats", True),
+        show_timing=args.get("print_timing", True),
+    )
+    # linear_solver names: direct names map to the host oracle; iterative
+    # to PCG (the factory vocabulary, linear_solver_factory.cpp:24-226).
+    solver_name = args.get("linear_solver", "eigen-llt")
+    cfg_kwargs["solver"] = "pcg"
+    if dtype is not None:
+        cfg_kwargs["dtype"] = dtype
+    config = SimConfig(**cfg_kwargs)
+    jdtype = jnp.dtype(config.dtype)
+
+    # ---- materials
+    mat_cfgs: List[MaterialConfig] = []
+    for m in args.get("material_models", [{}]):
+        mat_cfgs.append(
+            MaterialConfig(
+                model=m.get("energy", "Stable-Neohookean"),
+                ym=m.get("youngs_modulus", 1e6),
+                pr=m.get("poissons_ratio", 0.45),
+                density=m.get("density", 1000.0),
+            )
+        )
+    if not mat_cfgs:
+        mat_cfgs = [MaterialConfig()]
+
+    # ---- objects
+    Vs, Ts = [], []
+    mu_e, la_e, rho_e, model_e = [], [], [], []
+    is_fixed_list, ext_list = [], []
+    bc_specs: List[BCSpec] = []
+    bc_states: List[BCState] = []
+    v0_list = []
+    obj_slices: List[slice] = []
+    bc_build_args = []  # deferred: need nv_total for global masks
+
+    offset_v = 0
+    for obj in args.get("objects", []):
+        path = _resolve_path(obj["path"], scene_dir)
+        normalize = obj.get("normalize", True)
+        V, T = _load_object_mesh(path, dim, normalize)
+
+        off = np.asarray(obj.get("offset", (0.0, 0.0, 0.0)))[:dim]
+        V = V + off
+        if "transformation" in obj:
+            Tm = np.asarray(obj["transformation"], dtype=np.float64).reshape(
+                dim, dim
+            )
+            centroid = V.mean(axis=0)
+            V = (V - centroid) @ Tm.T + centroid
+
+        # materials: per-tet ids or single index
+        if "material_ids" in obj:
+            ids = mesh_io.read_dmat(
+                _resolve_path(obj["material_ids"], scene_dir)
+            ).astype(int).reshape(-1)
+        else:
+            ids = np.full(len(T), int(obj.get("material_index", 0)))
+        for i in ids:
+            assert 0 <= i < len(mat_cfgs)
+        mu_e.append(np.array([mat_cfgs[i].mu for i in ids]))
+        la_e.append(np.array([mat_cfgs[i].la for i in ids]))
+        rho_e.append(np.array([mat_cfgs[i].density for i in ids]))
+        model_e.append(np.array([model_index(mat_cfgs[i].model) for i in ids]))
+
+        # initial velocity
+        iv = np.zeros((len(V), dim))
+        if "initial_velocity" in obj:
+            iv[:] = np.asarray(obj["initial_velocity"])[:dim]
+        v0_list.append(iv)
+
+        bc_cfg_raw = obj.get("boundary_condition", {})
+        bc_cfg = BCConfig(
+            type=bc_cfg_raw.get("type", "null"),
+            ratio=bc_cfg_raw.get("ratio", 0.1),
+            axis=bc_cfg_raw.get("axis", 0),
+            velocity=bc_cfg_raw.get("velocity", 0.1),
+            duration=bc_cfg_raw.get("duration", 1.0),
+            flip=bc_cfg_raw.get("flip", False),
+        )
+        ext_raw = obj.get("external_force", {})
+        ext_cfg = ExtConfig(
+            type=ext_raw.get("type", "area"),
+            is_body_force=ext_raw.get("is_body_force", True),
+            force=tuple(ext_raw.get("force", config.body_force)),
+            axis=ext_raw.get("axis", 0),
+            ratio=ext_raw.get("ratio", 0.1),
+            max_force=ext_raw.get("max_force", 100.0),
+            target_velocity=ext_raw.get("target_velocity", 0.1),
+            max_displacement=ext_raw.get("max_displacement", 0.3),
+        )
+
+        bc_build_args.append((V.copy(), bc_cfg, offset_v))
+        ext_list.append(build_external_force(V, ext_cfg))
+        obj_slices.append(slice(offset_v, offset_v + len(V)))
+        Vs.append(V)
+        Ts.append(T)
+        offset_v += len(V)
+
+    nv_total = offset_v
+    # Build BCs now that nv_total is known; BC init may deform V (scale etc.)
+    all_fixed = []
+    for i, (V_obj, bc_cfg, off_i) in enumerate(bc_build_args):
+        spec, st, fixed, V_new = build_bc(
+            V_obj, bc_cfg, nv_total, off_i, dtype=jdtype
+        )
+        bc_specs.append(spec)
+        bc_states.append(st)
+        all_fixed.append(fixed)
+        Vs[i] = V_new
+
+    # Concatenate into global mesh (Meshes composite, meshes.cpp:11-55)
+    V = np.concatenate(Vs, axis=0)
+    T = np.concatenate(
+        [t + sl.start for t, sl in zip(Ts, obj_slices)], axis=0
+    )
+    obj_id = np.concatenate(
+        [np.full(len(v), i) for i, v in enumerate(Vs)]
+    )
+    is_fixed = np.concatenate(all_fixed)
+    ext_force = np.concatenate(ext_list, axis=0)
+    v0 = np.concatenate(v0_list, axis=0)
+
+    # initial_state resume (simulation_state.cpp:300-345)
+    if "initial_state" in args:
+        ist = args["initial_state"]
+        if "x_path" in ist:
+            V = mesh_io.read_dmat(_resolve_path(ist["x_path"], scene_dir))
+        if "v_path" in ist:
+            v0 = mesh_io.read_dmat(_resolve_path(ist["v_path"], scene_dir))
+
+    # model name tuple: unique names present, in registry order
+    from mixedfem_tpu.materials.models import MATERIAL_NAMES
+
+    used = sorted(set(int(i) for arr in model_e for i in np.unique(arr)))
+    models_present = tuple(MATERIAL_NAMES[i] for i in used)
+    remap = {g: l for l, g in enumerate(used)}
+    model_id = np.concatenate(
+        [np.vectorize(remap.get)(arr) for arr in model_e]
+    )
+
+    mesh = build_mesh_data(
+        V,
+        T,
+        density=np.concatenate(rho_e),
+        mu=np.concatenate(mu_e),
+        lam=np.concatenate(la_e),
+        model_id=model_id,
+        models=models_present,
+        is_fixed=is_fixed,
+        ext_force=ext_force,
+        obj_id=obj_id,
+        dtype=jdtype,
+    )
+
+    x0 = jnp.asarray(V, jdtype)
+    state = init_state(
+        mesh, config, tuple(bc_states), x0, jnp.asarray(v0, jdtype)
+    )
+    return Simulation(
+        mesh=mesh,
+        config=config,
+        bc_specs=tuple(bc_specs),
+        state=state,
+        dim=dim,
+        obj_slices=obj_slices,
+    )

@@ -1,0 +1,162 @@
+"""MeshData: the static discretization pytree + element-level jax ops.
+
+TPU-native replacement for the reference Mesh class hierarchy (reference:
+src/mesh/mesh.h:54-188, tet_mesh.cpp, tri2d_mesh.cpp, meshes.cpp). Instead
+of global sparse matrices (J_, M_, W_, PJW_) everything is matrix-free:
+
+- deformation gradients are per-element gathers + small contractions
+  (F = J x, reference tet_mesh.cpp:77-80),
+- the transpose J^T W y is a scatter-add segment-sum,
+- the consistent mass matrix is applied element-wise (M x).
+
+Multi-object scenes are concatenated into a single global mesh at build time
+(the reference's Meshes composite, src/mesh/meshes.cpp:11-144), carrying
+per-element material parameters and a per-vertex object id.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixedfem_tpu.mesh import discretization as disc
+
+
+@flax.struct.dataclass
+class MeshData:
+    """Static per-simulation discretization data (all arrays device-ready)."""
+
+    V0: jnp.ndarray          # (nv, d) reference/rest positions
+    T: jnp.ndarray           # (E, k) int32 element vertex ids
+    dphidX: jnp.ndarray      # (E, k, d) shape function gradients
+    vols: jnp.ndarray        # (E,) element volumes (2D: double areas)
+    mass_coeff: jnp.ndarray  # (E, k, k) consistent mass blocks (scalar x I_d)
+    mass_lumped: jnp.ndarray  # (nv,) lumped (row-sum) mass
+    mass_diag: jnp.ndarray   # (nv,) true diagonal of the consistent mass
+    free_mask: jnp.ndarray   # (nv,) f: 1.0 where vertex is free, 0.0 pinned
+    mu: jnp.ndarray          # (E,) per-element Lame mu
+    lam: jnp.ndarray         # (E,) per-element Lame lambda
+    model_id: jnp.ndarray    # (E,) int32 material model index into `models`
+    ext_force: jnp.ndarray   # (nv, d) external acceleration (gravity etc.)
+    obj_id: jnp.ndarray      # (nv,) int32 object index per vertex
+    F_srf: jnp.ndarray       # boundary facets (3D: (nf,3), 2D: (ne,2)) int32
+    E_srf: jnp.ndarray       # boundary edges (3D) / == F_srf (2D)
+
+    dim: int = flax.struct.field(pytree_node=False)
+    models: Tuple[str, ...] = flax.struct.field(pytree_node=False)
+
+    @property
+    def nv(self) -> int:
+        return self.V0.shape[0]
+
+    @property
+    def nelem(self) -> int:
+        return self.T.shape[0]
+
+    @property
+    def nodes_per_elem(self) -> int:
+        return self.T.shape[1]
+
+
+def build_mesh_data(
+    V: np.ndarray,
+    T: np.ndarray,
+    *,
+    density: np.ndarray,
+    mu: np.ndarray,
+    lam: np.ndarray,
+    model_id: np.ndarray,
+    models: Tuple[str, ...],
+    is_fixed: np.ndarray,
+    ext_force: np.ndarray,
+    obj_id: np.ndarray | None = None,
+    dtype=jnp.float64,
+) -> MeshData:
+    """Build MeshData from host arrays (f64 precompute, cast to `dtype`)."""
+    V = np.asarray(V, dtype=np.float64)
+    T = np.asarray(T, dtype=np.int32)
+    dim = V.shape[1]
+    k = T.shape[1]
+
+    if dim == 3:
+        vols = disc.tet_volumes(V, T)
+        dphidX = disc.tet_dphidX(V, T)
+    else:
+        vols = disc.tri_double_areas(V, T)
+        dphidX = disc.tri2d_dphidX(V, T)
+
+    density = np.broadcast_to(np.asarray(density, np.float64), (len(T),))
+    mass_coeff = disc.consistent_mass_coeff(vols, density, k)
+    # Lumped mass: row sums of the consistent mass, scattered to vertices.
+    lumped = np.zeros(len(V))
+    np.add.at(lumped, T.reshape(-1), mass_coeff.sum(axis=2).reshape(-1))
+    mdiag = np.zeros(len(V))
+    np.add.at(
+        mdiag, T.reshape(-1), np.diagonal(mass_coeff, axis1=1, axis2=2).reshape(-1)
+    )
+
+    F_srf = disc.boundary_facets(T)
+    E_srf = disc.edges(F_srf) if dim == 3 else F_srf
+
+    return MeshData(
+        V0=jnp.asarray(V, dtype),
+        T=jnp.asarray(T),
+        dphidX=jnp.asarray(dphidX, dtype),
+        vols=jnp.asarray(vols, dtype),
+        mass_coeff=jnp.asarray(mass_coeff, dtype),
+        mass_lumped=jnp.asarray(lumped, dtype),
+        mass_diag=jnp.asarray(mdiag, dtype),
+        free_mask=jnp.asarray(~np.asarray(is_fixed, bool), dtype),
+        mu=jnp.asarray(np.broadcast_to(mu, (len(T),)), dtype),
+        lam=jnp.asarray(np.broadcast_to(lam, (len(T),)), dtype),
+        model_id=jnp.asarray(np.broadcast_to(model_id, (len(T),)), jnp.int32),
+        ext_force=jnp.asarray(ext_force, dtype),
+        obj_id=jnp.asarray(
+            obj_id if obj_id is not None else np.zeros(len(V)), jnp.int32
+        ),
+        F_srf=jnp.asarray(F_srf),
+        E_srf=jnp.asarray(E_srf),
+        dim=dim,
+        models=tuple(models),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Element-level jax ops (all matrix-free)
+# ---------------------------------------------------------------------------
+
+def def_grad(mesh: MeshData, x: jnp.ndarray) -> jnp.ndarray:
+    """Deformation gradients (E, d, d) from vertex positions x (nv, d).
+
+    F[r, c] = sum_k x[T[e,k], r] * dphidX[e, k, c]  (F = J x in the
+    reference, src/mesh/tet_mesh.cpp:77-80)."""
+    xe = x[mesh.T]  # (E, k, d)
+    return jnp.einsum("ekr,ekc->erc", xe, mesh.dphidX)
+
+
+def def_grad_adjoint(mesh: MeshData, Y: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of def_grad: (E, d, d) co-gradients -> (nv, d) via scatter-add.
+
+    Computes J^T y (the reference's sparse-transpose product in e.g.
+    src/variables/mixed_stretch.cpp:232)."""
+    contrib = jnp.einsum("ekc,erc->ekr", mesh.dphidX, Y)
+    flat = contrib.reshape(-1, mesh.dim)
+    return jax.ops.segment_sum(flat, mesh.T.reshape(-1), num_segments=mesh.nv)
+
+
+def mass_matvec(mesh: MeshData, x: jnp.ndarray) -> jnp.ndarray:
+    """Consistent mass matrix product M x, matrix-free (nv, d) -> (nv, d)."""
+    xe = x[mesh.T]  # (E, k, d)
+    ye = jnp.einsum("ekl,eld->ekd", mesh.mass_coeff, xe)
+    return jax.ops.segment_sum(
+        ye.reshape(-1, mesh.dim), mesh.T.reshape(-1), num_segments=mesh.nv
+    )
+
+
+def project_free(mesh: MeshData, x: jnp.ndarray) -> jnp.ndarray:
+    """Zero out rows at pinned vertices (the P^T P projector)."""
+    return x * mesh.free_mask[:, None]

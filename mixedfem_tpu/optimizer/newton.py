@@ -1,0 +1,222 @@
+"""Newton/SQP implicit time stepper — the jitted hot path.
+
+Reference: src/optimizers/newton_optimizer.cpp:14-118 (step), 120-157
+(update_system), 159-171 (substep) and src/linesearch.h:78-129 (plain
+backtracking, accept when E(a) < E(0)). One call = one implicit BDF step:
+
+  pre_solve -> [ update -> linear solve (PCG) -> local (ds, la) ->
+                 line search ] x <= outer_steps -> scripted BC update ->
+  BDF history push -> la = 0
+
+The Newton loop, the PCG solve and the line search are lax.while_loops, so
+the whole timestep is a single XLA computation. Per-iteration diagnostics
+(energy, residual, decrement, alpha, CG iters) are written into fixed-size
+stat arrays matching the reference's OptimizerData table.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from mixedfem_tpu.bc import boundary_conditions as bcmod
+from mixedfem_tpu.config import SimConfig
+from mixedfem_tpu.integrators import bdf as bdfmod
+from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.solvers import pcg as pcgmod
+from mixedfem_tpu.variables import displacement as disp
+from mixedfem_tpu.variables import mixed_stretch as ms
+
+
+@flax.struct.dataclass
+class StepStats:
+    """Per-Newton-iteration diagnostics (fixed-size: outer_steps slots)."""
+
+    energy: jnp.ndarray      # (outer,)
+    energy_res: jnp.ndarray  # (outer,)
+    decrement: jnp.ndarray   # (outer,)
+    alpha: jnp.ndarray       # (outer,)
+    solver_iters: jnp.ndarray  # (outer,) int32
+    solver_error: jnp.ndarray  # (outer,)
+    iterations: jnp.ndarray  # scalar int32: Newton iterations taken
+
+
+@flax.struct.dataclass
+class SimState:
+    x: jnp.ndarray    # (nv, d) current positions (fixed rows = BC script)
+    s: jnp.ndarray    # (E, N) mixed stretch
+    la: jnp.ndarray   # (E, N) multipliers
+    bdf: bdfmod.BDFState
+    bc_states: Tuple[bcmod.BCState, ...]
+    step_count: jnp.ndarray  # scalar int32
+    stats: StepStats
+
+
+def _empty_stats(outer: int, dtype) -> StepStats:
+    z = jnp.zeros((outer,), dtype)
+    return StepStats(
+        energy=z,
+        energy_res=z,
+        decrement=z,
+        alpha=z,
+        solver_iters=jnp.zeros((outer,), jnp.int32),
+        solver_error=z,
+        iterations=jnp.zeros((), jnp.int32),
+    )
+
+
+def init_state(
+    mesh: meshmod.MeshData,
+    config: SimConfig,
+    bc_states: Tuple[bcmod.BCState, ...],
+    x0: jnp.ndarray,
+    v0: jnp.ndarray,
+) -> SimState:
+    s0, la0 = ms.reset(mesh, x0)
+    bdf = bdfmod.bdf_init(config.integrator, x0, v0, config.h)
+    return SimState(
+        x=x0,
+        s=s0,
+        la=la0,
+        bdf=bdf,
+        bc_states=tuple(bc_states),
+        step_count=jnp.zeros((), jnp.int32),
+        stats=_empty_stats(config.outer_steps, x0.dtype),
+    )
+
+
+def _total_energy(mesh, bdf, h2, x, s, la):
+    """The merit function of the line search (newton_optimizer.cpp:63-78):
+    inertia + h^2 psi(s) + la . c(x, s)."""
+    return (
+        disp.energy(mesh, bdf, x)
+        + h2 * ms.energy(mesh, s)
+        + ms.constraint_value(mesh, x, s, la)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def newton_step(
+    mesh: meshmod.MeshData,
+    config: SimConfig,
+    bc_specs: Tuple[bcmod.BCSpec, ...],
+    state: SimState,
+) -> SimState:
+    """One implicit BDF timestep."""
+    dt = bdfmod.bdf_dt(state.bdf)
+    h2 = dt * dt
+    dtype = state.x.dtype
+    outer = config.outer_steps
+
+    target = disp.target(mesh, state.bdf, blend=config.inertia_blend_factor)
+
+    def newton_cond(carry):
+        x, s, la, it, E_prev, dec, res, stats = carry
+        return jnp.logical_and(
+            it < outer,
+            jnp.logical_and(dec > config.newton_tol, res > 1e-12),
+        )
+
+    def newton_body(carry):
+        x, s, la, it, E_prev, dec, res, stats = carry
+
+        # --- update_system: rotations, derivatives (mixed_stretch.update)
+        coeffs = ms.update(mesh, x, s, dt)
+
+        # --- rhs = -inertia gradient + stretch rhs
+        b = -disp.gradient(
+            mesh, state.bdf, x, blend=config.inertia_blend_factor
+        ) + ms.rhs(mesh, coeffs, s)
+
+        # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
+        def A(p):
+            return disp.matvec(mesh, p) + ms.matvec(mesh, coeffs, p)
+
+        eye = jnp.eye(mesh.dim, dtype=dtype)
+        blocks = ms.diag_blocks(mesh, coeffs) + mesh.mass_diag[:, None, None] * eye
+        Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
+
+        # Warm start: explicit-Euler prediction (eigen_iterative_solver.h:40-56)
+        dx0 = meshmod.project_free(mesh, target - x)
+        dx, cg_iters, cg_err = pcgmod.pcg(
+            A, b, dx0, Minv,
+            max_iters=config.max_iterative_solver_iters,
+            tol=config.itr_tol,
+        )
+
+        # --- local recovery of (ds, la) (SystemMatrixPD::post_solve)
+        ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+
+        dec_new = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(ds)))
+
+        # --- energies + backtracking line search (linesearch.h:78-129)
+        E = _total_energy(mesh, state.bdf, h2, x, s, la_new)
+        res_new = jnp.abs((E - E_prev) / (E + 1e-6))
+
+        alpha0 = jnp.asarray(1.0, dtype)  # CCD clamp enters here when enabled
+
+        def ls_cond(c):
+            a, k = c
+            Ea = _total_energy(mesh, state.bdf, h2, x + a * dx, s + a * ds, la_new)
+            return jnp.logical_and(k < config.ls_iters, Ea >= E)
+
+        def ls_body(c):
+            a, k = c
+            return (a * 0.5, k + 1)
+
+        alpha, ls_k = jax.lax.while_loop(
+            ls_cond, ls_body, (alpha0, jnp.zeros((), jnp.int32))
+        )
+        accept = (ls_k < config.ls_iters).astype(dtype)
+        x = x + accept * alpha * dx
+        s = s + accept * alpha * ds
+
+        stats = stats.replace(
+            energy=stats.energy.at[it].set(E),
+            energy_res=stats.energy_res.at[it].set(res_new),
+            decrement=stats.decrement.at[it].set(dec_new),
+            alpha=stats.alpha.at[it].set(alpha),
+            solver_iters=stats.solver_iters.at[it].set(cg_iters),
+            solver_error=stats.solver_error.at[it].set(cg_err),
+            iterations=it + 1,
+        )
+        return (x, s, la_new, it + 1, E, dec_new, res_new, stats)
+
+    big = jnp.asarray(jnp.inf, dtype)
+    init = (
+        state.x,
+        state.s,
+        state.la,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), dtype),
+        big,
+        big,
+        _empty_stats(outer, dtype),
+    )
+    x, s, la, it, E_prev, dec, res, stats = jax.lax.while_loop(
+        newton_cond, newton_body, init
+    )
+
+    # --- scripted Dirichlet BC motion (mesh update_bcs, meshes.cpp:188-208)
+    V = x
+    new_bc_states = []
+    for spec, bcst in zip(bc_specs, state.bc_states):
+        V, bcst = bcmod.bc_step(spec, bcst, V, config.h)
+        new_bc_states.append(bcst)
+
+    # --- post_solve: BDF history push with BC-moved positions, clear la
+    bdf = bdfmod.bdf_update(state.bdf, V)
+
+    return SimState(
+        x=V,
+        s=s,
+        la=jnp.zeros_like(la),
+        bdf=bdf,
+        bc_states=tuple(new_bc_states),
+        step_count=state.step_count + 1,
+        stats=stats,
+    )

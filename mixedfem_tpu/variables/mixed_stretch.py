@@ -1,0 +1,152 @@
+"""MixedStretch: the core mixed variable (per-element symmetric stretch).
+
+TPU-native reimplementation of the reference MixedStretch<DIM>
+(src/variables/mixed_stretch.{h,cpp}). State per element: mixed stretch
+s (sym-vec), multiplier la. Per Newton iteration `update` produces the
+coefficients of the condensed SPD system:
+
+  G[e]  = ds/dF . dphi/dx          (N x k x d "constraint jacobian")
+  H[e]  = psd_fix(h^2 psi''(s))    (N x N)
+  g[e]  = h^2 psi'(s)              (N,)
+  Sv[e] = sym-vec of S(x)          (N,)
+
+The reference's weighted algebra (Sym/Syminv, W volume weights,
+src/variables/mixed_stretch.cpp:188-292) collapses in the condensed path to:
+
+  element stiffness   A_e  = vol_e * G^T H G        (== Aloc, :209-215)
+  rhs                 b_e  = -vol_e * G^T (H (Sv - s) + g)   (== rhs(), :246-275)
+  local solve         ds_e = (Sv - s) + G : dx_e             (== solve(), :278-292)
+                      la_e = Syminv (H ds_e + g)
+
+(the simplification is exact: Sym Syminv = I; derivation in docs/DESIGN.md).
+All functions are pure and operate on the full element batch.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from mixedfem_tpu.materials import models as mat
+from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.ops import psd, rotation, sym
+
+
+@flax.struct.dataclass
+class StretchCoeffs:
+    """Per-Newton-iteration linearization data (all per-element)."""
+
+    G: jnp.ndarray        # (E, N, k, d) ds/dx element jacobian
+    H: jnp.ndarray        # (E, N, N) PSD-fixed h^2 psi''
+    Hinv: jnp.ndarray     # (E, N, N)
+    g: jnp.ndarray        # (E, N) h^2 psi'
+    Sv: jnp.ndarray       # (E, N) current stretch of F(x)
+    R: jnp.ndarray        # (E, d, d) rotations
+    max_evals: jnp.ndarray  # (E,) max clamped eigenvalue ("stress")
+
+
+def stretch_of_x(mesh: meshmod.MeshData, x: jnp.ndarray):
+    """Polar stretch sym-vec of the current deformation (E, N)."""
+    F = meshmod.def_grad(mesh, x)
+    R, S = rotation.polar(F, mesh.dim)
+    return sym.pack(S), R
+
+
+def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
+    """Rotations + derivatives (reference update(), mixed_stretch.cpp:159-243)."""
+    F = meshmod.def_grad(mesh, x)
+    R, S = rotation.polar(F, mesh.dim)
+    Sv = sym.pack(S)
+    D = rotation.dsdF(R, S, mesh.dim)                     # (E, N, d, d)
+    G = jnp.einsum("eirc,ekc->eikr", D, mesh.dphidX)      # (E, N, k, d)
+
+    h2 = dt * dt
+    Hraw = h2 * mat.hess_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
+    H, Hinv, evals = psd.psd_fix(Hraw, tol=1e-8)
+    g = h2 * mat.grad_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
+    return StretchCoeffs(G=G, H=H, Hinv=Hinv, g=g, Sv=Sv, R=R, max_evals=evals)
+
+
+def rhs(mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray):
+    """Condensed-system right-hand side (nv, d), zero at pinned vertices."""
+    y = jnp.einsum("eij,ej->ei", c.H, c.Sv - s) + c.g       # (E, N)
+    contrib = -jnp.einsum("eikr,ei,e->ekr", c.G, y, mesh.vols)
+    out = jax.ops.segment_sum(
+        contrib.reshape(-1, mesh.dim), mesh.T.reshape(-1), num_segments=mesh.nv
+    )
+    return meshmod.project_free(mesh, out)
+
+
+def matvec(mesh: meshmod.MeshData, c: StretchCoeffs, p: jnp.ndarray):
+    """Stretch block of the condensed SPD operator: P (sum_e vol G^T H G) P^T p."""
+    p = meshmod.project_free(mesh, p)
+    pe = p[mesh.T]                                         # (E, k, d)
+    q = jnp.einsum("eikr,ekr->ei", c.G, pe)                # (E, N)
+    y = jnp.einsum("eij,ej->ei", c.H, q)
+    contrib = jnp.einsum("eikr,ei,e->ekr", c.G, y, mesh.vols)
+    out = jax.ops.segment_sum(
+        contrib.reshape(-1, mesh.dim), mesh.T.reshape(-1), num_segments=mesh.nv
+    )
+    return meshmod.project_free(mesh, out)
+
+
+def diag_blocks(mesh: meshmod.MeshData, c: StretchCoeffs):
+    """Per-vertex (d, d) diagonal blocks of the stretch stiffness, for the
+    block-Jacobi preconditioner (reference: preconditioners/block_jacobi.h)."""
+    B = jnp.einsum("eikr,eij,ejks,e->ekrs", c.G, c.H, c.G, mesh.vols)
+    return jax.ops.segment_sum(
+        B.reshape(-1, mesh.dim, mesh.dim),
+        mesh.T.reshape(-1),
+        num_segments=mesh.nv,
+    )
+
+
+def local_solve(
+    mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray, dx: jnp.ndarray
+):
+    """Recover (ds, la) from the displacement update dx (nv, d).
+
+    Exact simplification of the reference solve() (mixed_stretch.cpp:278-292):
+      ds = (S(x) - s) + G : dx
+      la = Syminv (H ds + g)
+    """
+    dxe = dx[mesh.T]
+    ds = (c.Sv - s) + jnp.einsum("eikr,ekr->ei", c.G, dxe)
+    syminv = sym.syminv_weights(mesh.dim, dtype=s.dtype)
+    la = syminv * (jnp.einsum("eij,ej->ei", c.H, ds) + c.g)
+    return ds, la
+
+
+def gradient_x(mesh: meshmod.MeshData, c: StretchCoeffs, la: jnp.ndarray):
+    """grad_x = J^T W (dsdF^T Sym la) — the x-gradient of the constraint term
+    (reference mixed_stretch.cpp:226-232). Used for diagnostics/KKT paths."""
+    w = sym.sym_weights(mesh.dim, dtype=la.dtype)
+    y = jnp.einsum("eikr,ei,e->ekr", c.G, w * la, mesh.vols)
+    out = jax.ops.segment_sum(
+        y.reshape(-1, mesh.dim), mesh.T.reshape(-1), num_segments=mesh.nv
+    )
+    return meshmod.project_free(mesh, out)
+
+
+def energy(mesh: meshmod.MeshData, s: jnp.ndarray):
+    """Elastic energy sum_e vol psi(s_e) (reference mixed_stretch.cpp:94-107).
+
+    NOTE: unscaled by h^2 — the optimizer applies h^2 (newton_optimizer.cpp:72)."""
+    e = mat.psi_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
+    return jnp.sum(mesh.vols * e)
+
+
+def constraint_value(
+    mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, la: jnp.ndarray
+):
+    """sum_e vol la^T Sym (S(x) - s) (reference mixed_stretch.cpp:110-156)."""
+    Sv, _ = stretch_of_x(mesh, x)
+    w = sym.sym_weights(mesh.dim, dtype=s.dtype)
+    return jnp.sum(mesh.vols * jnp.einsum("ei,ei->e", la, w * (Sv - s)))
+
+
+def reset(mesh: meshmod.MeshData, x: jnp.ndarray):
+    """Initial (s, la) from the initial positions (mixed_stretch.cpp:295-338)."""
+    Sv, _ = stretch_of_x(mesh, x)
+    return Sv, jnp.zeros_like(Sv)

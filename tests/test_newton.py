@@ -1,0 +1,174 @@
+"""End-to-end Newton step tests: linear-solve correctness vs a dense oracle,
+physical sanity (free fall, pinned vertices), and Newton convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mixedfem_tpu.bc.boundary_conditions import BCConfig, build_bc
+from mixedfem_tpu.config import SimConfig, enu_to_lame
+from mixedfem_tpu.integrators import bdf as bdfmod
+from mixedfem_tpu.mesh import generators, mesh as meshmod
+from mixedfem_tpu.optimizer import newton
+from mixedfem_tpu.solvers import pcg as pcgmod
+from mixedfem_tpu.variables import displacement as disp
+from mixedfem_tpu.variables import mixed_stretch as ms
+
+
+def small_beam(nx=4, ny=2, nz=2, fixed_left=True, ym=1e6, density=1000.0):
+    V, T = generators.box_tet_mesh(nx, ny, nz, size=(2.0, 0.5, 0.5))
+    la, mu = enu_to_lame(ym, 0.45)
+    is_fixed = np.zeros(len(V), bool)
+    if fixed_left:
+        is_fixed[V[:, 0] < 1e-9] = True
+    ext = np.tile(np.array([0.0, -9.8, 0.0]), (len(V), 1))
+    mesh = meshmod.build_mesh_data(
+        V,
+        T,
+        density=np.full(len(T), density),
+        mu=np.full(len(T), mu),
+        lam=np.full(len(T), la),
+        model_id=np.zeros(len(T), int),
+        models=("Stable-Neohookean",),
+        is_fixed=is_fixed,
+        ext_force=ext,
+    )
+    return mesh, V
+
+
+def make_state(mesh, config, x0=None, v0=None):
+    x0 = jnp.asarray(x0 if x0 is not None else mesh.V0)
+    v0 = jnp.asarray(v0 if v0 is not None else jnp.zeros_like(x0))
+    return newton.init_state(mesh, config, (), x0, v0)
+
+
+class TestLinearSolve:
+    def test_pcg_matches_dense_oracle(self):
+        """Materialize the condensed operator and compare PCG to np solve."""
+        mesh, V = small_beam(2, 1, 1)
+        config = SimConfig(outer_steps=1, itr_tol=1e-12, dtype="float64")
+        state = make_state(mesh, config)
+        dt = bdfmod.bdf_dt(state.bdf)
+
+        # deform a bit so the system is not at equilibrium
+        x = state.x + 0.01 * jax.random.normal(jax.random.PRNGKey(0), state.x.shape)
+        x = meshmod.project_free(mesh, x - state.x) + state.x
+        coeffs = ms.update(mesh, x, state.s, dt)
+        b = -disp.gradient(mesh, state.bdf, x) + ms.rhs(mesh, coeffs, state.s)
+
+        def A(p):
+            return disp.matvec(mesh, p) + ms.matvec(mesh, coeffs, p)
+
+        n = mesh.nv * mesh.dim
+        Adense = np.zeros((n, n))
+        for i in range(n):
+            e = np.zeros(n)
+            e[i] = 1.0
+            Adense[:, i] = np.asarray(A(jnp.asarray(e.reshape(-1, 3)))).reshape(-1)
+        np.testing.assert_allclose(Adense, Adense.T, atol=1e-4)
+
+        free = np.asarray(mesh.free_mask, bool).repeat(3)
+        Af = Adense[np.ix_(free, free)]
+        bf = np.asarray(b).reshape(-1)[free]
+        w = np.linalg.eigvalsh(Af)
+        assert w.min() > 0, "condensed system must be SPD"
+        dx_oracle = np.zeros(n)
+        dx_oracle[free] = np.linalg.solve(Af, bf)
+
+        eye = jnp.eye(3, dtype=x.dtype)
+        blocks = ms.diag_blocks(mesh, coeffs) + mesh.mass_diag[:, None, None] * eye
+        Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
+        dx, iters, err = pcgmod.pcg(
+            A, b, jnp.zeros_like(b), Minv, max_iters=2000, tol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(dx).reshape(-1), dx_oracle, atol=1e-8 * max(1, np.abs(dx_oracle).max())
+        )
+
+
+class TestPhysics:
+    def test_free_fall(self):
+        """Unpinned body under gravity: one BDF1 step gives v = g*h exactly
+        (rigid translation: zero elastic response)."""
+        mesh, V = small_beam(2, 1, 1, fixed_left=False)
+        h = 0.01
+        config = SimConfig(h=h, outer_steps=3, itr_tol=1e-12, dtype="float64")
+        state = make_state(mesh, config)
+        state = newton.newton_step(mesh, config, (), state)
+        dx = np.asarray(state.x) - V
+        expected = np.array([0.0, -9.8 * h * h, 0.0])
+        np.testing.assert_allclose(dx, np.tile(expected, (len(V), 1)), atol=1e-10)
+
+    def test_pinned_vertices_stationary(self):
+        mesh, V = small_beam()
+        config = SimConfig(h=0.01, outer_steps=5, dtype="float64")
+        state = make_state(mesh, config)
+        fixed = ~np.asarray(mesh.free_mask, bool)
+        for _ in range(3):
+            state = newton.newton_step(mesh, config, (), state)
+        np.testing.assert_allclose(np.asarray(state.x)[fixed], V[fixed], atol=1e-14)
+        # free vertices sag under gravity
+        assert np.asarray(state.x)[~fixed, 1].min() < V[~fixed, 1].min() - 1e-5
+
+    def test_energy_decreases_within_step(self):
+        """Newton iterations must monotonically decrease the merit energy."""
+        mesh, V = small_beam()
+        config = SimConfig(h=0.02, outer_steps=8, itr_tol=1e-10, dtype="float64")
+        state = make_state(mesh, config)
+        state = newton.newton_step(mesh, config, (), state)
+        it = int(state.stats.iterations)
+        E = np.asarray(state.stats.energy)[:it]
+        assert it >= 2
+        assert np.all(np.diff(E) <= 1e-9 * np.abs(E[:-1]) + 1e-12), E
+
+    def test_decrement_converges(self):
+        """With enough iterations the decrement should drop by orders of
+        magnitude within one step (SQP local convergence)."""
+        mesh, V = small_beam(3, 2, 2)
+        config = SimConfig(h=0.01, outer_steps=12, itr_tol=1e-12, dtype="float64")
+        state = make_state(mesh, config)
+        state = newton.newton_step(mesh, config, (), state)
+        it = int(state.stats.iterations)
+        dec = np.asarray(state.stats.decrement)[:it]
+        assert dec[-1] < 1e-6 * dec[0] or dec[-1] < 1e-10, dec
+
+    def test_bdf2_consistency(self):
+        """BDF2 and BDF1 agree to O(h) over a couple of steps."""
+        mesh, V = small_beam()
+        s1 = make_state(mesh, SimConfig(h=0.005, outer_steps=6, integrator="BDF1", dtype="float64"))
+        s2 = make_state(mesh, SimConfig(h=0.005, outer_steps=6, integrator="BDF2", dtype="float64"))
+        c1 = SimConfig(h=0.005, outer_steps=6, integrator="BDF1", dtype="float64")
+        c2 = SimConfig(h=0.005, outer_steps=6, integrator="BDF2", dtype="float64")
+        for _ in range(3):
+            s1 = newton.newton_step(mesh, c1, (), s1)
+            s2 = newton.newton_step(mesh, c2, (), s2)
+        diff = np.abs(np.asarray(s1.x) - np.asarray(s2.x)).max()
+        scale = np.abs(np.asarray(s1.x) - V).max()
+        assert diff < 0.5 * max(scale, 1e-12), (diff, scale)
+
+
+class TestScriptedBC:
+    def test_stretch_bc_moves_groups(self):
+        from mixedfem_tpu.bc.boundary_conditions import BCConfig, build_bc
+
+        mesh, V = small_beam(4, 2, 2, fixed_left=False)
+        cfg = BCConfig(type="stretch", ratio=0.1, axis=0, velocity=0.5)
+        spec, bcst, fixed, V2 = build_bc(V, cfg, len(V), 0)
+        mesh2 = mesh.replace(free_mask=jnp.asarray(~fixed, jnp.float64))
+        config = SimConfig(h=0.01, outer_steps=4, dtype="float64")
+        state = newton.init_state(
+            mesh2, config, (bcst,), jnp.asarray(V2), jnp.zeros_like(jnp.asarray(V2))
+        )
+        x_before = np.asarray(state.x)
+        state = newton.newton_step(mesh2, config, (spec,), state)
+        x_after = np.asarray(state.x)
+        g0 = np.asarray(spec.group0, bool)
+        g1 = np.asarray(spec.group1, bool)
+        # group0 moved +x, group1 moved -x by velocity*h
+        np.testing.assert_allclose(
+            x_after[g0, 0] - x_before[g0, 0], 0.5 * 0.01, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            x_after[g1, 0] - x_before[g1, 0], -0.5 * 0.01, atol=1e-12
+        )
