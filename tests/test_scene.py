@@ -1,0 +1,72 @@
+"""Scene-loading tests against the reference scene files themselves."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mixedfem_tpu.io import mesh_io
+from mixedfem_tpu.io.scene import load_scene
+
+REF_SCENES = "/root/reference/scenes"
+
+
+class TestIO:
+    def test_read_mesh(self):
+        V, T, F = mesh_io.read_mesh("/root/reference/models/mesh/beam.mesh")
+        assert V.shape == (751, 3)
+        assert T.shape[1] == 4 and T.min() >= 0 and T.max() < len(V)
+
+    def test_read_obj(self):
+        V, F = mesh_io.read_obj("/root/reference/models/obj/square_xy_145.obj")
+        assert V.shape[1] == 3 and F.shape[1] == 3
+        assert F.min() >= 0 and F.max() < len(V)
+
+    def test_dmat_roundtrip(self, tmp_path):
+        M = np.random.default_rng(0).standard_normal((5, 3))
+        p = str(tmp_path / "m.dmat")
+        mesh_io.write_dmat(p, M)
+        M2 = mesh_io.read_dmat(p)
+        np.testing.assert_allclose(M, M2, atol=1e-14)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SCENES), reason="reference absent")
+class TestReferenceScenes:
+    def test_load_beam_twist(self):
+        sim = load_scene(f"{REF_SCENES}/3D/beam_twist.json", dim=3)
+        assert sim.mesh.dim == 3
+        assert sim.mesh.nelem > 100
+        assert sim.config.integrator == "BDF1"
+        assert sim.bc_specs[0].type == "twist"
+        # twist pins both end slabs
+        fixed = 1.0 - np.asarray(sim.mesh.free_mask)
+        assert fixed.sum() > 0
+
+    def test_step_beam_twist(self):
+        sim = load_scene(
+            f"{REF_SCENES}/3D/beam_twist.json",
+            dim=3,
+            overrides={"max_newton_iterations": 3},
+        )
+        x0 = np.asarray(sim.state.x)
+        sim.step()
+        x1 = np.asarray(sim.state.x)
+        assert np.isfinite(x1).all()
+        # the twist BC rotated the end slabs
+        moved = np.abs(x1 - x0).max()
+        assert moved > 1e-6
+        it = int(sim.state.stats.iterations)
+        E = np.asarray(sim.state.stats.energy)[:it]
+        assert np.all(np.isfinite(E))
+
+    def test_load_2d_square(self):
+        # 2D scene without collisions
+        sim = load_scene(
+            f"{REF_SCENES}/2D/square.json",
+            dim=2,
+            overrides={"max_newton_iterations": 3},
+        )
+        assert sim.mesh.dim == 2
+        sim.step()
+        assert np.isfinite(np.asarray(sim.state.x)).all()
