@@ -1,0 +1,125 @@
+"""Benchmark: wall-clock ms per implicit step (assembly + solve).
+
+Prints ONE JSON line:
+  {"metric": "ms_per_implicit_step_100k_tets", "value": N, "unit": "ms",
+   "vs_baseline": R, ...extras}
+
+Protocol (BASELINE.md): SNH mixed-stretch beam under gravity, one end
+pinned, BDF1, Newton (5 outer iterations), matrix-free block-Jacobi PCG,
+f32 on the available accelerator. `vs_baseline` = single-node CPU (JAX CPU
+backend, all cores) wall-clock / accelerator wall-clock at 10k tets —
+the north-star is >10x (BASELINE.json).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build(nx, ny, nz, dtype, backend_device=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mixedfem_tpu.config import SimConfig, enu_to_lame
+    from mixedfem_tpu.mesh import generators, mesh as meshmod
+    from mixedfem_tpu.optimizer import newton
+
+    V, T = generators.box_tet_mesh(nx, ny, nz, size=(4.0, 1.0, 1.0))
+    la, mu = enu_to_lame(1e6, 0.45)
+    is_fixed = np.zeros(len(V), bool)
+    is_fixed[V[:, 0] < 1e-9] = True
+    ext = np.tile(np.array([0.0, -9.8, 0.0]), (len(V), 1))
+    jdtype = jnp.dtype(dtype)
+    mesh = meshmod.build_mesh_data(
+        V, T,
+        density=np.full(len(T), 1000.0),
+        mu=np.full(len(T), mu),
+        lam=np.full(len(T), la),
+        model_id=np.zeros(len(T), int),
+        models=("Stable-Neohookean",),
+        is_fixed=is_fixed,
+        ext_force=ext,
+        dtype=jdtype,
+    )
+    config = SimConfig(
+        h=0.02,
+        outer_steps=5,
+        newton_tol=0.0,       # fixed Newton count for stable timing
+        max_iterative_solver_iters=150,
+        itr_tol=1e-4,
+        dtype=dtype,
+    )
+    x0 = jnp.asarray(V, jdtype)
+    state = newton.init_state(mesh, config, (), x0, jnp.zeros_like(x0))
+    if backend_device is not None:
+        mesh = jax.device_put(mesh, backend_device)
+        state = jax.device_put(state, backend_device)
+    return mesh, config, state, len(T)
+
+
+def _sync(x):
+    """Force completion. block_until_ready is a no-op over the axon tunnel,
+    so fetch a scalar instead."""
+    np.asarray(x).ravel()[:1]
+
+
+def time_steps(mesh, config, state, n_steps=5):
+    from mixedfem_tpu.optimizer.newton import newton_step
+
+    # warmup/compile
+    state = newton_step(mesh, config, (), state)
+    _sync(state.stats.energy)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = newton_step(mesh, config, (), state)
+    _sync(state.stats.energy)
+    dt_ms = (time.perf_counter() - t0) / n_steps * 1e3
+    it = int(state.stats.iterations)
+    cg = np.asarray(state.stats.solver_iters)[:it]
+    return dt_ms, it, cg, state
+
+
+def main():
+    import jax
+
+    accel = jax.devices()[0]
+    cpu = jax.devices("cpu")[0] if any(
+        d.platform == "cpu" for d in jax.devices("cpu")
+    ) else None
+
+    extras = {}
+
+    # 100k tets on the accelerator (primary metric)
+    mesh, config, state, ntets = build(40, 25, 20, "float32")  # 100k tets
+    ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5)
+    extras["tets_100k"] = ntets
+    extras["newton_iters"] = it
+    extras["cg_iters_per_newton"] = [int(c) for c in cg]
+
+    # 10k tets accelerator vs CPU for vs_baseline
+    mesh, config, state, nt10 = build(20, 10, 10, "float32")  # 10k tets
+    ms_10k, _, _, _ = time_steps(mesh, config, state, n_steps=5)
+    extras["ms_per_step_10k_tets"] = round(ms_10k, 3)
+
+    vs_baseline = None
+    try:
+        mesh_c, config_c, state_c, _ = build(20, 10, 10, "float32", backend_device=cpu)
+        ms_cpu_10k, _, _, _ = time_steps(mesh_c, config_c, state_c, n_steps=2)
+        extras["ms_per_step_10k_tets_cpu"] = round(ms_cpu_10k, 3)
+        vs_baseline = ms_cpu_10k / ms_10k
+    except Exception as e:  # CPU backend may be unavailable under the tunnel
+        extras["cpu_baseline_error"] = str(e)[:200]
+
+    out = {
+        "metric": "ms_per_implicit_step_100k_tets",
+        "value": round(ms_100k, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }
+    out.update(extras)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,7 @@ class SimConfig:
     show_data: bool = True
     show_timing: bool = True
     save_substeps: bool = False
+
+    # diagnostics: record the vanilla-FEM gradient norm at each Newton
+    # iterate (the convergence-harness probe, apps/convergence.cpp:22-52)
+    record_vanilla_gradient: bool = False

@@ -29,15 +29,22 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Levi-Civita tensor, built lazily per dtype.
-@functools.lru_cache(maxsize=None)
-def _eps3(dtype_name: str):
+def _eps3_np():
     import numpy as np
 
-    e = np.zeros((3, 3, 3), dtype=dtype_name)
+    e = np.zeros((3, 3, 3))
     e[0, 1, 2] = e[1, 2, 0] = e[2, 0, 1] = 1.0
     e[0, 2, 1] = e[2, 1, 0] = e[1, 0, 2] = -1.0
-    return jnp.asarray(e)
+    return e
+
+
+_EPS3_NP = _eps3_np()
+
+
+def _eps3(dtype_name: str):
+    # Fresh constant per call site — caching jnp arrays across jit traces
+    # leaks tracers/devices.
+    return jnp.asarray(_EPS3_NP, dtype=dtype_name)
 
 
 # ---------------------------------------------------------------------------

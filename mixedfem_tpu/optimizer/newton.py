@@ -30,6 +30,7 @@ from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import displacement as disp
 from mixedfem_tpu.variables import mixed_stretch as ms
+from mixedfem_tpu.variables import stretch as vstretch
 
 
 @flax.struct.dataclass
@@ -42,6 +43,7 @@ class StepStats:
     alpha: jnp.ndarray       # (outer,)
     solver_iters: jnp.ndarray  # (outer,) int32
     solver_error: jnp.ndarray  # (outer,)
+    vanilla_grad: jnp.ndarray  # (outer,) ||vanilla-FEM gradient|| at iterate
     iterations: jnp.ndarray  # scalar int32: Newton iterations taken
 
 
@@ -65,6 +67,7 @@ def _empty_stats(outer: int, dtype) -> StepStats:
         alpha=z,
         solver_iters=jnp.zeros((outer,), jnp.int32),
         solver_error=z,
+        vanilla_grad=z,
         iterations=jnp.zeros((), jnp.int32),
     )
 
@@ -89,14 +92,15 @@ def init_state(
     )
 
 
-def _total_energy(mesh, bdf, h2, x, s, la):
+def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla):
     """The merit function of the line search (newton_optimizer.cpp:63-78):
-    inertia + h^2 psi(s) + la . c(x, s)."""
-    return (
-        disp.energy(mesh, bdf, x)
-        + h2 * ms.energy(mesh, s)
-        + ms.constraint_value(mesh, x, s, la)
-    )
+    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars]."""
+    E = disp.energy(mesh, bdf, x)
+    if use_mixed:
+        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(mesh, x, s, la)
+    if use_vanilla:
+        E = E + h2 * vstretch.energy(mesh, x)
+    return E
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -111,6 +115,8 @@ def newton_step(
     h2 = dt * dt
     dtype = state.x.dtype
     outer = config.outer_steps
+    use_mixed = "mixed-stretch" in config.mixed_variables
+    use_vanilla = "stretch" in config.variables
 
     target = disp.target(mesh, state.bdf, blend=config.inertia_blend_factor)
 
@@ -125,19 +131,33 @@ def newton_step(
         x, s, la, it, E_prev, dec, res, stats = carry
 
         # --- update_system: rotations, derivatives (mixed_stretch.update)
-        coeffs = ms.update(mesh, x, s, dt)
-
-        # --- rhs = -inertia gradient + stretch rhs
-        b = -disp.gradient(
+        eye = jnp.eye(mesh.dim, dtype=dtype)
+        inertia_grad = disp.gradient(
             mesh, state.bdf, x, blend=config.inertia_blend_factor
-        ) + ms.rhs(mesh, coeffs, s)
+        )
+        b = -inertia_grad
+        blocks = mesh.mass_diag[:, None, None] * eye
+        elastic_grad = jnp.zeros_like(b)
+
+        if use_mixed:
+            coeffs = ms.update(mesh, x, s, dt)
+            b = b + ms.rhs(mesh, coeffs, s)
+            blocks = blocks + ms.diag_blocks(mesh, coeffs)
+        if use_vanilla:
+            vcoeffs = vstretch.update(mesh, x, dt)
+            elastic_grad = vstretch.gradient(mesh, vcoeffs)
+            b = b - elastic_grad
+            blocks = blocks + vstretch.diag_blocks(mesh, vcoeffs)
 
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
         def A(p):
-            return disp.matvec(mesh, p) + ms.matvec(mesh, coeffs, p)
+            out = disp.matvec(mesh, p)
+            if use_mixed:
+                out = out + ms.matvec(mesh, coeffs, p)
+            if use_vanilla:
+                out = out + vstretch.matvec(mesh, vcoeffs, p)
+            return out
 
-        eye = jnp.eye(mesh.dim, dtype=dtype)
-        blocks = ms.diag_blocks(mesh, coeffs) + mesh.mass_diag[:, None, None] * eye
         Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
 
         # Warm start: explicit-Euler prediction (eigen_iterative_solver.h:40-56)
@@ -149,19 +169,32 @@ def newton_step(
         )
 
         # --- local recovery of (ds, la) (SystemMatrixPD::post_solve)
-        ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
-
-        dec_new = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(ds)))
+        if use_mixed:
+            ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+            dec_new = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(ds)))
+        else:
+            ds, la_new = jnp.zeros_like(s), la
+            dec_new = jnp.max(jnp.abs(dx))
 
         # --- energies + backtracking line search (linesearch.h:78-129)
-        E = _total_energy(mesh, state.bdf, h2, x, s, la_new)
+        E = _total_energy(mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla)
         res_new = jnp.abs((E - E_prev) / (E + 1e-6))
+
+        # vanilla-FEM gradient norm at the iterate (convergence.cpp:22-52)
+        if config.record_vanilla_gradient:
+            vg = inertia_grad + vstretch.gradient_at(mesh, x, dt)
+            vg_norm = jnp.linalg.norm(vg)
+        else:
+            vg_norm = jnp.zeros((), dtype)
 
         alpha0 = jnp.asarray(1.0, dtype)  # CCD clamp enters here when enabled
 
         def ls_cond(c):
             a, k = c
-            Ea = _total_energy(mesh, state.bdf, h2, x + a * dx, s + a * ds, la_new)
+            Ea = _total_energy(
+                mesh, state.bdf, h2, x + a * dx, s + a * ds, la_new,
+                use_mixed, use_vanilla,
+            )
             return jnp.logical_and(k < config.ls_iters, Ea >= E)
 
         def ls_body(c):
@@ -182,6 +215,7 @@ def newton_step(
             alpha=stats.alpha.at[it].set(alpha),
             solver_iters=stats.solver_iters.at[it].set(cg_iters),
             solver_error=stats.solver_error.at[it].set(cg_err),
+            vanilla_grad=stats.vanilla_grad.at[it].set(vg_norm),
             iterations=it + 1,
         )
         return (x, s, la_new, it + 1, E, dec_new, res_new, stats)
