@@ -44,8 +44,53 @@ class Simulation:
     obj_slices: List[slice]
 
     def step(self) -> SimState:
+        if "mixed-collision" in self.config.mixed_variables:
+            self._update_contact_candidates()
         self.state = newton_step(self.mesh, self.config, self.bc_specs, self.state)
         return self.state
+
+    def _update_contact_candidates(self):
+        """Host broadphase once per step (reference rebuilds candidates every
+        Newton iteration with margin 1.1*dhat, mixed_collision.cpp:116-118;
+        here the margin additionally covers the expected step motion)."""
+        import jax.numpy as jnp
+
+        from mixedfem_tpu.collision import broadphase as bp
+        from mixedfem_tpu.optimizer.newton import empty_contact
+        from mixedfem_tpu.variables.mixed_collision import ContactFrames
+
+        V = np.asarray(self.state.x)
+        v = np.asarray(self.state.bdf.v_hist[0])
+        motion = (
+            np.linalg.norm(v, axis=1).max() * self.config.h if len(v) else 0.0
+        )
+        margin = 1.1 * self.config.dhat + 2.0 * motion
+
+        F_srf = np.asarray(self.mesh.F_srf)
+        E_srf = np.asarray(self.mesh.E_srf)
+        if self.dim == 3:
+            surf_verts = np.unique(F_srf.reshape(-1))
+            frames, types = bp.candidates_3d(V, F_srf, E_srf, surf_verts, margin)
+        else:
+            surf_verts = np.unique(E_srf.reshape(-1))
+            frames, types = bp.candidates_2d(V, E_srf, surf_verts, margin)
+
+        jdtype = jnp.dtype(self.config.dtype)
+        if len(frames) == 0:
+            self.state = self.state.replace(contact=empty_contact(jdtype, 0))
+            return
+        # power-of-two capacity bucketing to bound recompiles
+        cap = self.config.max_contact_frames or max(
+            256, 1 << int(np.ceil(np.log2(len(frames))))
+        )
+        f, t, m = bp.pad_candidates(frames, types, cap)
+        self.state = self.state.replace(
+            contact=ContactFrames(
+                frames=jnp.asarray(f),
+                ftype=jnp.asarray(t),
+                fmask=jnp.asarray(m, jdtype),
+            )
+        )
 
     def run(self, n: Optional[int] = None):
         for _ in range(n if n is not None else self.config.timesteps):

@@ -24,13 +24,16 @@ import jax
 import jax.numpy as jnp
 
 from mixedfem_tpu.bc import boundary_conditions as bcmod
+from mixedfem_tpu.collision import accd as accdmod
 from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import displacement as disp
+from mixedfem_tpu.variables import mixed_collision as mc
 from mixedfem_tpu.variables import mixed_stretch as ms
 from mixedfem_tpu.variables import stretch as vstretch
+from mixedfem_tpu.variables.mixed_collision import ContactFrames
 
 
 @flax.struct.dataclass
@@ -54,8 +57,17 @@ class SimState:
     la: jnp.ndarray   # (E, N) multipliers
     bdf: bdfmod.BDFState
     bc_states: Tuple[bcmod.BCState, ...]
+    contact: ContactFrames  # padded per-step candidates (capacity may be 0)
     step_count: jnp.ndarray  # scalar int32
     stats: StepStats
+
+
+def empty_contact(dtype, capacity: int = 0) -> ContactFrames:
+    return ContactFrames(
+        frames=jnp.zeros((capacity, 4), jnp.int32),
+        ftype=jnp.full((capacity,), 3, jnp.int32),  # PP inert
+        fmask=jnp.zeros((capacity,), dtype),
+    )
 
 
 def _empty_stats(outer: int, dtype) -> StepStats:
@@ -87,6 +99,7 @@ def init_state(
         la=la0,
         bdf=bdf,
         bc_states=tuple(bc_states),
+        contact=empty_contact(x0.dtype, 0),
         step_count=jnp.zeros((), jnp.int32),
         stats=_empty_stats(config.outer_steps, x0.dtype),
     )
@@ -118,17 +131,23 @@ def newton_step(
     use_mixed = "mixed-stretch" in config.mixed_variables
     use_vanilla = "stretch" in config.variables
 
+    cf = state.contact
+    use_contact = (
+        "mixed-collision" in config.mixed_variables and cf.frames.shape[0] > 0
+    )
+    dhat, kappa = config.dhat, config.kappa
+
     target = disp.target(mesh, state.bdf, blend=config.inertia_blend_factor)
 
     def newton_cond(carry):
-        x, s, la, it, E_prev, dec, res, stats = carry
+        x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
         return jnp.logical_and(
             it < outer,
             jnp.logical_and(dec > config.newton_tol, res > 1e-12),
         )
 
     def newton_body(carry):
-        x, s, la, it, E_prev, dec, res, stats = carry
+        x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
 
         # --- update_system: rotations, derivatives (mixed_stretch.update)
         eye = jnp.eye(mesh.dim, dtype=dtype)
@@ -148,6 +167,10 @@ def newton_step(
             elastic_grad = vstretch.gradient(mesh, vcoeffs)
             b = b - elastic_grad
             blocks = blocks + vstretch.diag_blocks(mesh, vcoeffs)
+        if use_contact:
+            ccoeffs = mc.update(mesh, cf, x, cd, cla, cact, dhat, kappa)
+            b = b + mc.rhs(mesh, cf, ccoeffs)
+            blocks = blocks + mc.diag_blocks(mesh, cf, ccoeffs)
 
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
         def A(p):
@@ -156,6 +179,8 @@ def newton_step(
                 out = out + ms.matvec(mesh, coeffs, p)
             if use_vanilla:
                 out = out + vstretch.matvec(mesh, vcoeffs, p)
+            if use_contact:
+                out = out + mc.matvec(mesh, cf, ccoeffs, p)
             return out
 
         Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
@@ -175,9 +200,41 @@ def newton_step(
         else:
             ds, la_new = jnp.zeros_like(s), la
             dec_new = jnp.max(jnp.abs(dx))
+        if use_contact:
+            cdd, cla_new = mc.local_solve(mesh, cf, ccoeffs, dx)
+            cd_cur, cact_new = ccoeffs.d, ccoeffs.active
+            dec_new = jnp.maximum(dec_new, jnp.max(jnp.abs(cdd)))
+        else:
+            cdd, cla_new = jnp.zeros_like(cd), cla
+            cd_cur, cact_new = cd, cact
+
+        def contact_energy(x_t, cd_t):
+            """Barrier + constraint at a trial point: existing active frames
+            use the trial mixed distance; newly violating candidates join
+            with d = D(x_t) (MixedCollision::energy, mixed_collision.cpp:12-50)."""
+            if not use_contact:
+                return jnp.zeros((), dtype)
+            verts = x_t[cf.frames]
+            from mixedfem_tpu.collision import distances as cdist
+            from mixedfem_tpu.collision import barrier as cbar
+
+            D_t = cdist.frame_distance(verts, cf.ftype)
+            act_prev = cact_new > 0
+            d_eff = jnp.where(act_prev, cd_t, D_t)
+            act = jnp.logical_or(
+                act_prev, jnp.logical_and(D_t < dhat, cf.fmask > 0)
+            )
+            e = mc.energy(d_eff, act.astype(dtype), dhat, kappa, dtype)
+            # constraint term over the current frame set only
+            m = jnp.logical_and(
+                act_prev, jnp.logical_or(D_t <= dhat, cd_t <= dhat)
+            ).astype(dtype)
+            return e + jnp.sum(cla_new * (D_t - cd_t) * m)
 
         # --- energies + backtracking line search (linesearch.h:78-129)
-        E = _total_energy(mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla)
+        E = _total_energy(
+            mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla
+        ) + contact_energy(x, cd_cur)
         res_new = jnp.abs((E - E_prev) / (E + 1e-6))
 
         # vanilla-FEM gradient norm at the iterate (convergence.cpp:22-52)
@@ -187,14 +244,20 @@ def newton_step(
         else:
             vg_norm = jnp.zeros((), dtype)
 
-        alpha0 = jnp.asarray(1.0, dtype)  # CCD clamp enters here when enabled
+        # CCD step-size clamp (newton_optimizer.cpp:49-61)
+        if use_contact and config.enable_ccd:
+            alpha0 = 0.9 * accdmod.accd_alpha(
+                cf.frames, cf.ftype, cf.fmask, x, dx
+            )
+        else:
+            alpha0 = jnp.asarray(1.0, dtype)
 
         def ls_cond(c):
             a, k = c
             Ea = _total_energy(
                 mesh, state.bdf, h2, x + a * dx, s + a * ds, la_new,
                 use_mixed, use_vanilla,
-            )
+            ) + contact_energy(x + a * dx, cd_cur + a * cdd)
             return jnp.logical_and(k < config.ls_iters, Ea >= E)
 
         def ls_body(c):
@@ -207,6 +270,7 @@ def newton_step(
         accept = (ls_k < config.ls_iters).astype(dtype)
         x = x + accept * alpha * dx
         s = s + accept * alpha * ds
+        cd_next = cd_cur + accept * alpha * cdd
 
         stats = stats.replace(
             energy=stats.energy.at[it].set(E),
@@ -218,20 +282,27 @@ def newton_step(
             vanilla_grad=stats.vanilla_grad.at[it].set(vg_norm),
             iterations=it + 1,
         )
-        return (x, s, la_new, it + 1, E, dec_new, res_new, stats)
+        return (
+            x, s, la_new, cd_next, cla_new, cact_new,
+            it + 1, E, dec_new, res_new, stats,
+        )
 
     big = jnp.asarray(jnp.inf, dtype)
+    C = cf.frames.shape[0]
     init = (
         state.x,
         state.s,
         state.la,
+        jnp.zeros((C,), dtype),   # mixed contact distances (fresh per step,
+        jnp.zeros((C,), dtype),   # la) — MixedCollision::post_solve clears
+        jnp.zeros((C,), dtype),   # active mask (frames re-detected in-loop)
         jnp.zeros((), jnp.int32),
         jnp.zeros((), dtype),
         big,
         big,
         _empty_stats(outer, dtype),
     )
-    x, s, la, it, E_prev, dec, res, stats = jax.lax.while_loop(
+    x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = jax.lax.while_loop(
         newton_cond, newton_body, init
     )
 
@@ -251,6 +322,7 @@ def newton_step(
         la=jnp.zeros_like(la),
         bdf=bdf,
         bc_states=tuple(new_bc_states),
+        contact=state.contact,
         step_count=state.step_count + 1,
         stats=stats,
     )
