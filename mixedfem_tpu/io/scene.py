@@ -44,7 +44,12 @@ class Simulation:
     obj_slices: List[slice]
 
     def step(self) -> SimState:
-        if "mixed-collision" in self.config.mixed_variables:
+        needs_contact = (
+            "mixed-collision" in self.config.mixed_variables
+            or "collision" in self.config.variables
+            or "friction" in self.config.variables
+        )
+        if needs_contact:
             self._update_contact_candidates()
         self.state = newton_step(self.mesh, self.config, self.bc_specs, self.state)
         return self.state

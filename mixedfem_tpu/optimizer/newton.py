@@ -29,7 +29,9 @@ from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.solvers import pcg as pcgmod
+from mixedfem_tpu.variables import collision as vcol
 from mixedfem_tpu.variables import displacement as disp
+from mixedfem_tpu.variables import friction as fric
 from mixedfem_tpu.variables import mixed_collision as mc
 from mixedfem_tpu.variables import mixed_stretch as ms
 from mixedfem_tpu.variables import stretch as vstretch
@@ -132,12 +134,18 @@ def newton_step(
     use_vanilla = "stretch" in config.variables
 
     cf = state.contact
-    use_contact = (
-        "mixed-collision" in config.mixed_variables and cf.frames.shape[0] > 0
-    )
+    have_frames = cf.frames.shape[0] > 0
+    use_contact = "mixed-collision" in config.mixed_variables and have_frames
+    use_vcollision = "collision" in config.variables and have_frames
+    use_friction = "friction" in config.variables and have_frames
     dhat, kappa = config.dhat, config.kappa
 
     target = disp.target(mesh, state.bdf, blend=config.inertia_blend_factor)
+
+    # Lagged friction set from the PRE-step positions (Friction::pre_solve)
+    if use_friction:
+        ffr = fric.build(mesh, cf, state.x, dhat, kappa)
+        epsv_h = config.espv * dt
 
     def newton_cond(carry):
         x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
@@ -171,6 +179,14 @@ def newton_step(
             ccoeffs = mc.update(mesh, cf, x, cd, cla, cact, dhat, kappa)
             b = b + mc.rhs(mesh, cf, ccoeffs)
             blocks = blocks + mc.diag_blocks(mesh, cf, ccoeffs)
+        if use_vcollision:
+            vccoeffs = vcol.update(cf, x, dhat, kappa)
+            b = b - vcol.gradient(mesh, cf, vccoeffs)
+            blocks = blocks + vcol.diag_blocks(mesh, cf, vccoeffs)
+        if use_friction:
+            fcoeffs = fric.update(ffr, x, config.contact_mu, epsv_h)
+            b = b - fric.gradient(mesh, ffr, fcoeffs)
+            blocks = blocks + fric.diag_blocks(mesh, ffr, fcoeffs)
 
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
         def A(p):
@@ -181,6 +197,10 @@ def newton_step(
                 out = out + vstretch.matvec(mesh, vcoeffs, p)
             if use_contact:
                 out = out + mc.matvec(mesh, cf, ccoeffs, p)
+            if use_vcollision:
+                out = out + vcol.matvec(mesh, cf, vccoeffs, p)
+            if use_friction:
+                out = out + fric.matvec(mesh, ffr, fcoeffs, p)
             return out
 
         Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
@@ -209,27 +229,36 @@ def newton_step(
             cd_cur, cact_new = cd, cact
 
         def contact_energy(x_t, cd_t):
-            """Barrier + constraint at a trial point: existing active frames
-            use the trial mixed distance; newly violating candidates join
-            with d = D(x_t) (MixedCollision::energy, mixed_collision.cpp:12-50)."""
-            if not use_contact:
-                return jnp.zeros((), dtype)
-            verts = x_t[cf.frames]
-            from mixedfem_tpu.collision import distances as cdist
-            from mixedfem_tpu.collision import barrier as cbar
+            """Contact terms of the merit function at a trial point."""
+            e_tot = jnp.zeros((), dtype)
+            if use_contact:
+                # Barrier on trial mixed distances + newly violating
+                # candidates joining with d = D(x_t)
+                # (MixedCollision::energy, mixed_collision.cpp:12-50).
+                from mixedfem_tpu.collision import distances as cdist
 
-            D_t = cdist.frame_distance(verts, cf.ftype)
-            act_prev = cact_new > 0
-            d_eff = jnp.where(act_prev, cd_t, D_t)
-            act = jnp.logical_or(
-                act_prev, jnp.logical_and(D_t < dhat, cf.fmask > 0)
-            )
-            e = mc.energy(d_eff, act.astype(dtype), dhat, kappa, dtype)
-            # constraint term over the current frame set only
-            m = jnp.logical_and(
-                act_prev, jnp.logical_or(D_t <= dhat, cd_t <= dhat)
-            ).astype(dtype)
-            return e + jnp.sum(cla_new * (D_t - cd_t) * m)
+                verts = x_t[cf.frames]
+                D_t = cdist.frame_distance(verts, cf.ftype)
+                act_prev = cact_new > 0
+                d_eff = jnp.where(act_prev, cd_t, D_t)
+                act = jnp.logical_or(
+                    act_prev, jnp.logical_and(D_t < dhat, cf.fmask > 0)
+                )
+                e_tot = e_tot + mc.energy(
+                    d_eff, act.astype(dtype), dhat, kappa, dtype
+                )
+                # constraint term over the current frame set only
+                m = jnp.logical_and(
+                    act_prev, jnp.logical_or(D_t <= dhat, cd_t <= dhat)
+                ).astype(dtype)
+                e_tot = e_tot + jnp.sum(cla_new * (D_t - cd_t) * m)
+            if use_vcollision:
+                e_tot = e_tot + h2 * vcol.energy(cf, x_t, dhat, kappa, dt)
+            if use_friction:
+                e_tot = e_tot + h2 * fric.energy(
+                    ffr, x_t, config.contact_mu, epsv_h, dt
+                )
+            return e_tot
 
         # --- energies + backtracking line search (linesearch.h:78-129)
         E = _total_energy(
@@ -245,7 +274,7 @@ def newton_step(
             vg_norm = jnp.zeros((), dtype)
 
         # CCD step-size clamp (newton_optimizer.cpp:49-61)
-        if use_contact and config.enable_ccd:
+        if (use_contact or use_vcollision) and config.enable_ccd:
             alpha0 = 0.9 * accdmod.accd_alpha(
                 cf.frames, cf.ftype, cf.fmask, x, dx
             )
