@@ -64,19 +64,48 @@ def tri2d_dphidX(V: np.ndarray, T: np.ndarray) -> np.ndarray:
     return dphi
 
 
-def consistent_mass_coeff(vols: np.ndarray, density: np.ndarray, k: int):
+def tri3d_dphidX(V: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """(E, 3, 3) in-plane shape-function gradients for 3D membrane triangles.
+
+    dphi_k is the 3D in-plane gradient of barycentric phi_k:
+    grad phi_{1,2} = Dm (Dm^T Dm)^{-1} columns, phi_0 = -sum. (Semantics of
+    sim::linear_tri3dmesh_dphi_dX used at tri_mesh.cpp:35.)"""
+    e1 = V[T[:, 1]] - V[T[:, 0]]
+    e2 = V[T[:, 2]] - V[T[:, 0]]
+    Dm = np.stack([e1, e2], axis=-1)  # (E, 3, 2)
+    G2 = np.linalg.inv(np.einsum("eik,eil->ekl", Dm, Dm))  # (E, 2, 2)
+    grad12 = np.einsum("eik,ekl->eil", Dm, G2)  # (E, 3, 2) columns
+    dphi = np.empty((len(T), 3, 3), dtype=V.dtype)
+    dphi[:, 1, :] = grad12[:, :, 0]
+    dphi[:, 2, :] = grad12[:, :, 1]
+    dphi[:, 0, :] = -(dphi[:, 1] + dphi[:, 2])
+    return dphi
+
+
+def tri3d_rest_normals(V: np.ndarray, T: np.ndarray) -> np.ndarray:
+    n = np.cross(V[T[:, 1]] - V[T[:, 0]], V[T[:, 2]] - V[T[:, 0]])
+    return n / np.linalg.norm(n, axis=1, keepdims=True)
+
+
+def consistent_mass_coeff(
+    vols: np.ndarray, density: np.ndarray, k: int, shell: bool = False
+):
     """(E, k, k) per-element consistent mass blocks (scalar per vertex pair;
     the d-dim block is coeff * I_d).
 
     3D tets (k=4): M_kl = rho * vol * (1 + delta_kl) / 20
     2D tris (k=3): M_kl = rho * area * (1 + delta_kl) / 12, with
                    area = vols / 2 because vols stores DOUBLE area.
+    shells (k=3):  M_kl = rho * vols * (1 + delta_kl) / 12, vols already
+                   carrying the thickness factor (tri_mesh.cpp:43-69).
     (Semantics of sim::linear_tetmesh_mass_matrix / linear_tri2dmesh_mass_matrix
     used at tet_mesh.cpp:36-41, tri2d_mesh.cpp:36-42.)
     """
     base = 1.0 + np.eye(k)
     if k == 4:
         w = density * vols / 20.0
+    elif shell:
+        w = density * vols / 12.0
     else:
         w = density * (vols / 2.0) / 12.0
     return w[:, None, None] * base[None]

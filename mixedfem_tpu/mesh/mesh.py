@@ -45,9 +45,11 @@ class MeshData:
     obj_id: jnp.ndarray      # (nv,) int32 object index per vertex
     F_srf: jnp.ndarray       # boundary facets (3D: (nf,3), 2D: (ne,2)) int32
     E_srf: jnp.ndarray       # boundary edges (3D) / == F_srf (2D)
+    rest_normal: jnp.ndarray  # (E, 3) shell rest normals ((0,) for solids)
 
     dim: int = flax.struct.field(pytree_node=False)
     models: Tuple[str, ...] = flax.struct.field(pytree_node=False)
+    shell: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def nv(self) -> int:
@@ -75,14 +77,26 @@ def build_mesh_data(
     ext_force: np.ndarray,
     obj_id: np.ndarray | None = None,
     dtype=jnp.float64,
+    shell: bool = False,
+    thickness: float = 1e-3,
 ) -> MeshData:
-    """Build MeshData from host arrays (f64 precompute, cast to `dtype`)."""
+    """Build MeshData from host arrays (f64 precompute, cast to `dtype`).
+
+    shell=True: 3D triangle membranes with the normal-augmented deformation
+    gradient (reference TriMesh, src/mesh/tri_mesh.cpp); volumes are
+    doublearea * thickness / 2 (tri_mesh.cpp:38-41)."""
     V = np.asarray(V, dtype=np.float64)
     T = np.asarray(T, dtype=np.int32)
     dim = V.shape[1]
     k = T.shape[1]
 
-    if dim == 3:
+    rest_normal = np.zeros((0, 3))
+    if shell:
+        assert dim == 3 and k == 3
+        vols = disc.tri_double_areas(V, T) * (thickness / 2.0)
+        dphidX = disc.tri3d_dphidX(V, T)
+        rest_normal = disc.tri3d_rest_normals(V, T)
+    elif dim == 3:
         vols = disc.tet_volumes(V, T)
         dphidX = disc.tet_dphidX(V, T)
     else:
@@ -90,7 +104,7 @@ def build_mesh_data(
         dphidX = disc.tri2d_dphidX(V, T)
 
     density = np.broadcast_to(np.asarray(density, np.float64), (len(T),))
-    mass_coeff = disc.consistent_mass_coeff(vols, density, k)
+    mass_coeff = disc.consistent_mass_coeff(vols, density, k, shell=shell)
     # Lumped mass: row sums of the consistent mass, scattered to vertices.
     lumped = np.zeros(len(V))
     np.add.at(lumped, T.reshape(-1), mass_coeff.sum(axis=2).reshape(-1))
@@ -99,8 +113,12 @@ def build_mesh_data(
         mdiag, T.reshape(-1), np.diagonal(mass_coeff, axis1=1, axis2=2).reshape(-1)
     )
 
-    F_srf = disc.boundary_facets(T)
-    E_srf = disc.edges(F_srf) if dim == 3 else F_srf
+    if shell:
+        F_srf = T.copy()            # the surface IS the shell
+        E_srf = disc.edges(T)
+    else:
+        F_srf = disc.boundary_facets(T)
+        E_srf = disc.edges(F_srf) if dim == 3 else F_srf
 
     return MeshData(
         V0=jnp.asarray(V, dtype),
@@ -120,8 +138,10 @@ def build_mesh_data(
         ),
         F_srf=jnp.asarray(F_srf),
         E_srf=jnp.asarray(E_srf),
+        rest_normal=jnp.asarray(rest_normal, dtype),
         dim=dim,
         models=tuple(models),
+        shell=shell,
     )
 
 
@@ -129,13 +149,65 @@ def build_mesh_data(
 # Element-level jax ops (all matrix-free)
 # ---------------------------------------------------------------------------
 
+def _face_normals(xe: jnp.ndarray):
+    """(E, 3, 3) shell element verts -> (unit normal (E,3), unnormalized n,
+    length)."""
+    v1 = xe[:, 1] - xe[:, 0]
+    v2 = xe[:, 2] - xe[:, 0]
+    nr = jnp.cross(v1, v2)
+    l = jnp.sqrt(jnp.sum(nr * nr, axis=-1) + 1e-30)
+    return nr / l[:, None], nr, l, v1, v2
+
+
 def def_grad(mesh: MeshData, x: jnp.ndarray) -> jnp.ndarray:
     """Deformation gradients (E, d, d) from vertex positions x (nv, d).
 
-    F[r, c] = sum_k x[T[e,k], r] * dphidX[e, k, c]  (F = J x in the
-    reference, src/mesh/tet_mesh.cpp:77-80)."""
+    Solids: F[r, c] = sum_k x[T[e,k], r] * dphidX[e, k, c]  (F = J x in the
+    reference, src/mesh/tet_mesh.cpp:77-80).
+    Shells: F = F0 + outer(n(x), N_rest) — the normal-augmented membrane
+    deformation gradient (tri_mesh.cpp:104-126)."""
     xe = x[mesh.T]  # (E, k, d)
-    return jnp.einsum("ekr,ekc->erc", xe, mesh.dphidX)
+    F = jnp.einsum("ekr,ekc->erc", xe, mesh.dphidX)
+    if mesh.shell:
+        n, _, _, _, _ = _face_normals(xe)
+        F = F + n[:, :, None] * mesh.rest_normal[:, None, :]
+    return F
+
+
+def _skew(v):
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def shell_def_grad_jacobian(mesh: MeshData, x: jnp.ndarray) -> jnp.ndarray:
+    """(E, k, r, a, c) tensor dF_ac/dx_kr at the current iterate for shells.
+
+    The re-linearized jacobian of the reference (tri_mesh.cpp:128-190):
+    Jloc = Jloc0 + N (I - n n^T) dn/dq / |n|, with dn/dq from cross-product
+    matrices of the edge vectors."""
+    xe = x[mesh.T]
+    n, nr, l, v1, v2 = _face_normals(xe)
+    P = jnp.eye(3, dtype=x.dtype) - n[:, :, None] * n[:, None, :]
+    dx1 = _skew(v1)
+    dx2 = _skew(v2)
+    # dn/dq per corner: corner 0: dx2 - dx1; corner 1: -dx2; corner 2: dx1
+    # (tri_mesh.cpp:164-168); rows are normal components, cols are coords.
+    dndq = jnp.stack([dx2 - dx1, -dx2, dx1], axis=1)  # (E, k, 3, 3)
+    # dn_unit/dx_kr = P (dndq[k][:, r]) / l
+    dn = jnp.einsum("eab,ekbr,e->ekra", P, dndq, 1.0 / l)
+    # dF_ac/dx_kr = delta_ar dphidX[k, c] + dn_a/dx_kr * N_rest[c]
+    eye = jnp.eye(3, dtype=x.dtype)
+    base = eye[None, None, :, :, None] * mesh.dphidX[:, :, None, None, :]
+    # base[e, k, r, a, c] = delta_{r a} dphidX[e, k, c]
+    shellterm = dn[:, :, :, :, None] * mesh.rest_normal[:, None, None, None, :]
+    return base + shellterm
 
 
 def def_grad_adjoint(mesh: MeshData, Y: jnp.ndarray) -> jnp.ndarray:

@@ -57,41 +57,48 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 8):
     Fixed sweep count, exact Givens angles via atan2; fully batched with
     static row/col updates (no data-dependent control flow). Returns
     (w, V) with A approx V @ diag(w) @ V^T. Eigenvalues are NOT sorted.
+
+    TPU note: internally the batch axis is moved LAST so that every Givens
+    row/column update is a (n, B)/(B,) vector op with the large batch on the
+    128-lane axis — batch-first layout puts the tiny n x n matrix on the
+    lane/sublane tiles and wastes ~20x VPU throughput.
     """
     n = A.shape[-1]
-    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    batch_shape = A.shape[:-2]
+    B = 1
+    for sdim in batch_shape:
+        B *= sdim
+    Ab = jnp.moveaxis(A.reshape(B, n, n), 0, -1)  # (n, n, B)
+    Vb = jnp.tile(jnp.eye(n, dtype=A.dtype)[:, :, None], (1, 1, B))
     pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
 
     for _ in range(sweeps):
         for (p, q) in pairs:
-            app = A[..., p, p]
-            aqq = A[..., q, q]
-            apq = A[..., p, q]
+            app = Ab[p, p]
+            aqq = Ab[q, q]
+            apq = Ab[p, q]
             theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
             cp = jnp.cos(theta)
             sp = jnp.sin(theta)
 
             # A <- G^T A G with G the (p,q)-plane rotation by theta.
-            colp = A[..., :, p]
-            colq = A[..., :, q]
-            colp_new = cp[..., None] * colp + sp[..., None] * colq
-            colq_new = -sp[..., None] * colp + cp[..., None] * colq
-            A = A.at[..., :, p].set(colp_new)
-            A = A.at[..., :, q].set(colq_new)
-            rowp = A[..., p, :]
-            rowq = A[..., q, :]
-            rowp_new = cp[..., None] * rowp + sp[..., None] * rowq
-            rowq_new = -sp[..., None] * rowp + cp[..., None] * rowq
-            A = A.at[..., p, :].set(rowp_new)
-            A = A.at[..., q, :].set(rowq_new)
+            colp = Ab[:, p]
+            colq = Ab[:, q]
+            Ab = Ab.at[:, p].set(cp * colp + sp * colq)
+            Ab = Ab.at[:, q].set(-sp * colp + cp * colq)
+            rowp = Ab[p, :]
+            rowq = Ab[q, :]
+            Ab = Ab.at[p, :].set(cp * rowp + sp * rowq)
+            Ab = Ab.at[q, :].set(-sp * rowp + cp * rowq)
 
-            vp = V[..., :, p]
-            vq = V[..., :, q]
-            V = V.at[..., :, p].set(cp[..., None] * vp + sp[..., None] * vq)
-            V = V.at[..., :, q].set(-sp[..., None] * vp + cp[..., None] * vq)
+            vp = Vb[:, p]
+            vq = Vb[:, q]
+            Vb = Vb.at[:, p].set(cp * vp + sp * vq)
+            Vb = Vb.at[:, q].set(-sp * vp + cp * vq)
 
-    w = jnp.diagonal(A, axis1=-2, axis2=-1)
-    return w, V
+    w = jnp.stack([Ab[i, i] for i in range(n)], axis=-1)  # (B, n)
+    V = jnp.moveaxis(Vb, -1, 0)  # (B, n, n)
+    return w.reshape(*batch_shape, n), V.reshape(*batch_shape, n, n)
 
 
 def _sort3_desc(w, V):

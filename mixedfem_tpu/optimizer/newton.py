@@ -28,6 +28,7 @@ from mixedfem_tpu.collision import accd as accdmod
 from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.solvers import operator as opmod
 from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import collision as vcol
 from mixedfem_tpu.variables import displacement as disp
@@ -189,12 +190,14 @@ def newton_step(
             blocks = blocks + fric.diag_blocks(mesh, ffr, fcoeffs)
 
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
+        # (mass + element blocks fused into one gather/scatter pass)
         def A(p):
-            out = disp.matvec(mesh, p)
-            if use_mixed:
-                out = out + ms.matvec(mesh, coeffs, p)
-            if use_vanilla:
-                out = out + vstretch.matvec(mesh, vcoeffs, p)
+            out = opmod.element_matvec(
+                mesh,
+                p,
+                ms_coeffs=coeffs if use_mixed else None,
+                v_coeffs=vcoeffs if use_vanilla else None,
+            )
             if use_contact:
                 out = out + mc.matvec(mesh, cf, ccoeffs, p)
             if use_vcollision:

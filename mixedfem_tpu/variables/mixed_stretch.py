@@ -59,7 +59,13 @@ def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
     R, S = rotation.polar(F, mesh.dim)
     Sv = sym.pack(S)
     D = rotation.dsdF(R, S, mesh.dim)                     # (E, N, d, d)
-    G = jnp.einsum("eirc,ekc->eikr", D, mesh.dphidX)      # (E, N, k, d)
+    if mesh.shell:
+        # Re-linearized membrane jacobian (TriMesh::update_jacobian,
+        # tri_mesh.cpp:128-190): dF/dx includes the normal derivative.
+        JT = meshmod.shell_def_grad_jacobian(mesh, x)     # (E, k, r, a, c)
+        G = jnp.einsum("eiac,ekrac->eikr", D, JT)
+    else:
+        G = jnp.einsum("eirc,ekc->eikr", D, mesh.dphidX)  # (E, N, k, d)
 
     h2 = dt * dt
     Hraw = h2 * mat.hess_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
