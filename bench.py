@@ -64,15 +64,15 @@ def _sync(x):
     np.asarray(x).ravel()[:1]
 
 
-def time_steps(mesh, config, state, n_steps=5):
+def time_steps(mesh, config, state, n_steps=5, coarse=None):
     from mixedfem_tpu.optimizer.newton import newton_step
 
     # warmup/compile
-    state = newton_step(mesh, config, (), state)
+    state = newton_step(mesh, config, (), state, coarse)
     _sync(state.stats.energy)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state = newton_step(mesh, config, (), state)
+        state = newton_step(mesh, config, (), state, coarse)
     _sync(state.stats.energy)
     dt_ms = (time.perf_counter() - t0) / n_steps * 1e3
     it = int(state.stats.iterations)
@@ -91,9 +91,21 @@ def main():
     extras = {}
 
     # 100k tets on the accelerator (primary metric)
+    import jax.numpy as jnp
+
+    from mixedfem_tpu.solvers.coarse import build_coarse_space
+
     mesh, config, state, ntets = build(40, 25, 20, "float32")  # 100k tets
-    ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5)
+    cs = build_coarse_space(
+        np.asarray(mesh.V0),
+        np.asarray(mesh.T),
+        ~np.asarray(mesh.free_mask, bool),
+        target_size=64,
+        dtype=jnp.float32,
+    )
+    ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs)
     extras["tets_100k"] = ntets
+    extras["coarse_aggregates"] = cs.naggr
     extras["newton_iters"] = it
     extras["cg_iters_per_newton"] = [int(c) for c in cg]
 

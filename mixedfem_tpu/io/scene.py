@@ -42,6 +42,7 @@ class Simulation:
     dim: int
     # host-side metadata
     obj_slices: List[slice]
+    coarse: object = None  # optional CoarseSpace (two-level preconditioner)
 
     def step(self) -> SimState:
         needs_contact = (
@@ -51,8 +52,22 @@ class Simulation:
         )
         if needs_contact:
             self._update_contact_candidates()
-        self.state = newton_step(self.mesh, self.config, self.bc_specs, self.state)
+        self.state = newton_step(
+            self.mesh, self.config, self.bc_specs, self.state, self.coarse
+        )
         return self.state
+
+    def enable_coarse_preconditioner(self, target_size: int = 64):
+        from mixedfem_tpu.solvers.coarse import build_coarse_space
+
+        self.coarse = build_coarse_space(
+            np.asarray(self.mesh.V0),
+            np.asarray(self.mesh.T),
+            ~np.asarray(self.mesh.free_mask, bool),
+            target_size=target_size,
+            dtype=jnp.dtype(self.config.dtype),
+        )
+        return self
 
     def _update_contact_candidates(self):
         """Host broadphase once per step (reference rebuilds candidates every

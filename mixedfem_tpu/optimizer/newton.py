@@ -28,6 +28,7 @@ from mixedfem_tpu.collision import accd as accdmod
 from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.solvers import coarse as coarsemod
 from mixedfem_tpu.solvers import operator as opmod
 from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import collision as vcol
@@ -125,8 +126,10 @@ def newton_step(
     config: SimConfig,
     bc_specs: Tuple[bcmod.BCSpec, ...],
     state: SimState,
+    coarse: coarsemod.CoarseSpace | None = None,
 ) -> SimState:
-    """One implicit BDF timestep."""
+    """One implicit BDF timestep. `coarse` enables the two-level
+    rigid-body-coarse preconditioner (solvers/coarse.py)."""
     dt = bdfmod.bdf_dt(state.bdf)
     h2 = dt * dt
     dtype = state.x.dtype
@@ -206,7 +209,19 @@ def newton_step(
                 out = out + fric.matvec(mesh, ffr, fcoeffs, p)
             return out
 
-        Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
+        bj = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
+        if coarse is not None:
+            Ac = coarsemod.coarse_matrix(
+                mesh, coarse, coeffs if use_mixed else None
+            )
+            Ac_inv = coarsemod.coarse_inverse(Ac)
+
+            def Minv(r):
+                return coarsemod.two_level_apply(
+                    coarse, mesh.free_mask, Ac_inv, bj, r, mesh.dim
+                )
+        else:
+            Minv = bj
 
         # Warm start: explicit-Euler prediction (eigen_iterative_solver.h:40-56)
         dx0 = meshmod.project_free(mesh, target - x)

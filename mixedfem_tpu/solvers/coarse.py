@@ -1,0 +1,186 @@
+"""Two-level preconditioner: block-Jacobi smoother + rigid-body coarse solve.
+
+The reference relies on direct sparse factorization (CHOLMOD/LLT) or AMG
+(amgcl on the dual system) for stiff systems; neither maps to TPU. Instead:
+aggregate vertices into geometric clusters, span each aggregate with its 6
+rigid-body modes (3 translations + 3 rotations about the aggregate centroid
+— the near-null space of elasticity), assemble the coarse Galerkin matrix
+A_c = P^T A P element-wise (segment-sum over a static aggregate-pair
+bucketing), invert it densely on-device, and apply
+
+  M^{-1} r = blockJacobi(r) + P A_c^{-1} P^T r   (additive two-level)
+
+per CG iteration. The coarse basis is static (rest positions); A_c is
+rebuilt from the current element coefficients each Newton iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.variables.mixed_stretch import StretchCoeffs
+
+
+@flax.struct.dataclass
+class CoarseSpace:
+    """Static aggregation data."""
+
+    agg_id: jnp.ndarray      # (nv,) int32 aggregate per vertex
+    r: jnp.ndarray           # (nv, 3) X_v - centroid(agg) (masked at pins)
+    pair_id: jnp.ndarray     # (E, k, k) int32 bucket of (agg_k, agg_l)
+    pair_rows: jnp.ndarray   # (npairs,) int32 aggregate row of each bucket
+    pair_cols: jnp.ndarray   # (npairs,) int32 aggregate col
+    naggr: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def ncd(self) -> int:
+        return 6 * self.naggr
+
+
+def build_coarse_space(
+    V: np.ndarray,
+    T: np.ndarray,
+    is_fixed: np.ndarray,
+    target_size: int = 64,
+    dtype=jnp.float32,
+) -> CoarseSpace:
+    """Geometric grid clustering of vertices into ~target_size aggregates."""
+    V = np.asarray(V)
+    nv, d = V.shape
+    lo = V.min(axis=0)
+    extent = np.maximum(V.max(axis=0) - lo, 1e-12)
+    # cell edge so that a cell holds ~target_size vertices (assuming uniform)
+    ncells = max(nv / target_size, 1)
+    cell = (np.prod(extent) / ncells) ** (1.0 / d)
+    keys = np.floor((V - lo) / cell).astype(np.int64)
+    flat = keys[:, 0]
+    for j in range(1, d):
+        flat = flat * 100003 + keys[:, j]
+    uniq, agg_id = np.unique(flat, return_inverse=True)
+    naggr = len(uniq)
+
+    cent = np.zeros((naggr, d))
+    cnt = np.zeros(naggr)
+    np.add.at(cent, agg_id, V)
+    np.add.at(cnt, agg_id, 1.0)
+    cent /= cnt[:, None]
+    r = V - cent[agg_id]
+    if d == 2:
+        r = np.concatenate([r, np.zeros((nv, 1))], axis=1)
+    r[np.asarray(is_fixed, bool)] = 0.0
+
+    # aggregate-pair buckets per element corner pair (static topology)
+    E, k = T.shape
+    ak = agg_id[T]  # (E, k)
+    prs = np.stack(
+        [np.repeat(ak, k, axis=1), np.tile(ak, (1, k))], axis=-1
+    ).reshape(-1, 2)
+    flatp = prs[:, 0].astype(np.int64) * naggr + prs[:, 1]
+    uniqp, pid = np.unique(flatp, return_inverse=True)
+    return CoarseSpace(
+        agg_id=jnp.asarray(agg_id, jnp.int32),
+        r=jnp.asarray(r, dtype),
+        pair_id=jnp.asarray(pid.reshape(E, k, k), jnp.int32),
+        pair_rows=jnp.asarray((uniqp // naggr).astype(np.int32)),
+        pair_cols=jnp.asarray((uniqp % naggr).astype(np.int32)),
+        naggr=naggr,
+    )
+
+
+def _vert_modes(cs: CoarseSpace, free_mask, dim):
+    """(nv, d, 6) per-vertex rigid-mode matrix B_v = [I, -skew(r_v)],
+    zeroed at pinned vertices."""
+    nv = cs.r.shape[0]
+    dt = cs.r.dtype
+    r = cs.r
+    eye = jnp.eye(3, dtype=dt)
+    zero = jnp.zeros((nv,), dt)
+    # -skew(r): rows are displacement components
+    sk = jnp.stack(
+        [
+            jnp.stack([zero, r[:, 2], -r[:, 1]], axis=-1),
+            jnp.stack([-r[:, 2], zero, r[:, 0]], axis=-1),
+            jnp.stack([r[:, 1], -r[:, 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )  # (nv, 3, 3) = -skew(r)
+    B = jnp.concatenate(
+        [jnp.broadcast_to(eye, (nv, 3, 3)), sk], axis=-1
+    )  # (nv, 3, 6)
+    B = B[:, :dim, :] * free_mask[:, None, None]
+    return B
+
+
+def restrict(cs: CoarseSpace, free_mask, y: jnp.ndarray) -> jnp.ndarray:
+    """P^T y: (nv, d) -> (naggr, 6)."""
+    d = y.shape[1]
+    B = _vert_modes(cs, free_mask, d)  # (nv, d, 6)
+    contrib = jnp.einsum("nda,nd->na", B, y)
+    return jax.ops.segment_sum(contrib, cs.agg_id, num_segments=cs.naggr)
+
+
+def prolong(cs: CoarseSpace, free_mask, z: jnp.ndarray, dim) -> jnp.ndarray:
+    """P z: (naggr, 6) -> (nv, d)."""
+    B = _vert_modes(cs, free_mask, dim)
+    zv = z[cs.agg_id]  # (nv, 6)
+    return jnp.einsum("nda,na->nd", B, zv)
+
+
+def coarse_matrix(
+    mesh: meshmod.MeshData,
+    cs: CoarseSpace,
+    ms_coeffs: Optional[StretchCoeffs],
+) -> jnp.ndarray:
+    """Galerkin A_c = P^T (M + K) P, dense (6 naggr, 6 naggr)."""
+    d = mesh.dim
+    k = mesh.nodes_per_elem
+    dt = mesh.vols.dtype
+    B = _vert_modes(cs, mesh.free_mask, d)     # (nv, d, 6)
+    Be = B[mesh.T]                             # (E, k, d, 6)
+
+    # per-element corner-pair blocks K[e,k,l] (d x d)
+    eye = jnp.eye(d, dtype=dt)
+    Kkl = mesh.mass_coeff[:, :, :, None, None] * eye
+    if ms_coeffs is not None:
+        Kkl = Kkl + jnp.einsum(
+            "eikr,eij,ejls,e->eklrs",
+            ms_coeffs.G,
+            ms_coeffs.H,
+            ms_coeffs.G,
+            mesh.vols,
+        )
+
+    blocks = jnp.einsum("ekra,eklrs,elsb->eklab", Be, Kkl, Be)  # (E,k,k,6,6)
+    flat = blocks.reshape(-1, 36)
+    npairs = cs.pair_rows.shape[0]
+    pair_sums = jax.ops.segment_sum(
+        flat, cs.pair_id.reshape(-1), num_segments=npairs
+    ).reshape(npairs, 6, 6)
+
+    ncd = cs.ncd
+    Ac = jnp.zeros((cs.naggr, 6, cs.naggr, 6), dt)
+    Ac = Ac.at[cs.pair_rows, :, cs.pair_cols, :].add(pair_sums)
+    Ac = Ac.reshape(ncd, ncd)
+    # Ridge for aggregates with all-pinned vertices / rank deficiency.
+    scale = jnp.trace(Ac) / ncd + 1e-30
+    return Ac + (1e-6 * scale) * jnp.eye(ncd, dtype=dt)
+
+
+def coarse_inverse(Ac: jnp.ndarray) -> jnp.ndarray:
+    """Dense inverse (applied as a matmul per CG iteration — triangular
+    solves serialize on TPU)."""
+    return jnp.linalg.inv(Ac)
+
+
+def two_level_apply(cs: CoarseSpace, free_mask, Ac_inv, bj_apply, r, dim):
+    """M^{-1} r = blockJacobi(r) + P Ac^{-1} P^T r."""
+    z = bj_apply(r)
+    rc = restrict(cs, free_mask, r).reshape(-1)
+    zc = (Ac_inv @ rc).reshape(cs.naggr, 6)
+    return z + prolong(cs, free_mask, zc, dim) * free_mask[:, None]

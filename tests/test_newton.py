@@ -172,3 +172,61 @@ class TestScriptedBC:
         np.testing.assert_allclose(
             x_after[g1, 0] - x_before[g1, 0], -0.5 * 0.01, atol=1e-12
         )
+
+
+class TestDirectOracle:
+    def test_assembled_matrix_matches_matvec(self):
+        """scipy assembly (solvers/direct.py) == matrix-free operator."""
+        import scipy.sparse as sp
+
+        from mixedfem_tpu.solvers import direct as dsolve
+        from mixedfem_tpu.solvers import operator as opmod
+
+        mesh, V = small_beam(3, 2, 2)
+        config = SimConfig(outer_steps=1, dtype="float64")
+        state = make_state(mesh, config)
+        dt = bdfmod.bdf_dt(state.bdf)
+        x = state.x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(1), state.x.shape
+        )
+        x = meshmod.project_free(mesh, x - state.x) + state.x
+        coeffs = ms.update(mesh, x, state.s, dt)
+        A = dsolve.assemble_condensed(mesh, coeffs)
+
+        rng = np.random.default_rng(2)
+        for _ in range(3):
+            p = rng.standard_normal((mesh.nv, 3))
+            p[~np.asarray(mesh.free_mask, bool)] = 0.0
+            q_sp = (A @ p.reshape(-1)).reshape(-1, 3)
+            q_sp[~np.asarray(mesh.free_mask, bool)] = 0.0  # identity rows
+            q_mf = np.asarray(
+                opmod.element_matvec(mesh, jnp.asarray(p), ms_coeffs=coeffs)
+            )
+            np.testing.assert_allclose(q_sp, q_mf, atol=1e-8, rtol=1e-8)
+
+    def test_pcg_matches_direct_solve(self):
+        from mixedfem_tpu.solvers import direct as dsolve
+        from mixedfem_tpu.solvers import operator as opmod
+
+        mesh, V = small_beam(3, 2, 2)
+        config = SimConfig(outer_steps=1, dtype="float64")
+        state = make_state(mesh, config)
+        dt = bdfmod.bdf_dt(state.bdf)
+        coeffs = ms.update(mesh, state.x, state.s, dt)
+        b = -disp.gradient(mesh, state.bdf, state.x) + ms.rhs(
+            mesh, coeffs, state.s
+        )
+        A = dsolve.assemble_condensed(mesh, coeffs)
+        dx_direct = dsolve.solve_direct(A, np.asarray(b).reshape(-1))
+
+        eye = jnp.eye(3, dtype=state.x.dtype)
+        blocks = ms.diag_blocks(mesh, coeffs) + mesh.mass_diag[:, None, None] * eye
+        Minv = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
+        dx, _, _ = pcgmod.pcg(
+            lambda p: opmod.element_matvec(mesh, p, ms_coeffs=coeffs),
+            b, jnp.zeros_like(b), Minv, max_iters=3000, tol=1e-13,
+        )
+        scale = max(np.abs(dx_direct).max(), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(dx).reshape(-1), dx_direct, atol=1e-8 * scale
+        )
