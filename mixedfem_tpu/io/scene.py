@@ -43,6 +43,7 @@ class Simulation:
     # host-side metadata
     obj_slices: List[slice]
     coarse: object = None  # optional CoarseSpace (two-level preconditioner)
+    press_specs: Tuple = ()
 
     def step(self) -> SimState:
         needs_contact = (
@@ -53,7 +54,8 @@ class Simulation:
         if needs_contact:
             self._update_contact_candidates()
         self.state = newton_step(
-            self.mesh, self.config, self.bc_specs, self.state, self.coarse
+            self.mesh, self.config, self.bc_specs, self.state, self.coarse,
+            self.press_specs,
         )
         return self.state
 
@@ -215,6 +217,7 @@ def load_scene(
     is_fixed_list, ext_list = [], []
     bc_specs: List[BCSpec] = []
     bc_states: List[BCState] = []
+    press_cfgs = []
     v0_list = []
     obj_slices: List[slice] = []
     bc_build_args = []  # deferred: need nv_total for global masks
@@ -277,6 +280,8 @@ def load_scene(
 
         bc_build_args.append((V.copy(), bc_cfg, offset_v))
         ext_list.append(build_external_force(V, ext_cfg))
+        if ext_cfg.type == "press":
+            press_cfgs.append((ext_cfg, offset_v, len(V)))
         obj_slices.append(slice(offset_v, offset_v + len(V)))
         Vs.append(V)
         Ts.append(T)
@@ -339,8 +344,37 @@ def load_scene(
     )
 
     x0 = jnp.asarray(V, jdtype)
+
+    # MechanicalPress controllers (press_force.h)
+    from mixedfem_tpu.bc.boundary_conditions import boundary_groups
+    from mixedfem_tpu.bc.press import PressSpec, press_init
+
+    press_specs, press_states = [], []
+    for ecfg, off_i, nvo in press_cfgs:
+        V_obj = V[off_i : off_i + nvo]
+        forced = np.zeros(nv_total)
+        if ecfg.is_body_force:
+            forced[off_i : off_i + nvo] = 1.0
+            marker = off_i
+        else:
+            g0, g1 = boundary_groups(V_obj, ecfg.ratio, ecfg.axis)
+            idx = np.nonzero(g1)[0]
+            forced[off_i + idx] = 1.0
+            marker = off_i + (idx[0] if len(idx) else 0)
+        spec = PressSpec(
+            forced=jnp.asarray(forced, jdtype),
+            axis=ecfg.axis,
+            marker=int(marker),
+            target_velocity=ecfg.target_velocity,
+            max_force=ecfg.max_force,
+            max_displacement=ecfg.max_displacement,
+        )
+        press_specs.append(spec)
+        press_states.append(press_init(spec, x0, ecfg.force[ecfg.axis]))
+
     state = init_state(
-        mesh, config, tuple(bc_states), x0, jnp.asarray(v0, jdtype)
+        mesh, config, tuple(bc_states), x0, jnp.asarray(v0, jdtype),
+        press_states=tuple(press_states),
     )
     return Simulation(
         mesh=mesh,
@@ -349,4 +383,5 @@ def load_scene(
         state=state,
         dim=dim,
         obj_slices=obj_slices,
+        press_specs=tuple(press_specs),
     )

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mixedfem_tpu.bc import boundary_conditions as bcmod
+from mixedfem_tpu.bc import press as pressmod
 from mixedfem_tpu.collision import accd as accdmod
 from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
@@ -62,6 +63,7 @@ class SimState:
     bdf: bdfmod.BDFState
     bc_states: Tuple[bcmod.BCState, ...]
     contact: ContactFrames  # padded per-step candidates (capacity may be 0)
+    press_states: Tuple[pressmod.PressState, ...]
     step_count: jnp.ndarray  # scalar int32
     stats: StepStats
 
@@ -94,6 +96,7 @@ def init_state(
     bc_states: Tuple[bcmod.BCState, ...],
     x0: jnp.ndarray,
     v0: jnp.ndarray,
+    press_states: Tuple[pressmod.PressState, ...] = (),
 ) -> SimState:
     s0, la0 = ms.reset(mesh, x0)
     bdf = bdfmod.bdf_init(config.integrator, x0, v0, config.h)
@@ -104,6 +107,7 @@ def init_state(
         bdf=bdf,
         bc_states=tuple(bc_states),
         contact=empty_contact(x0.dtype, 0),
+        press_states=tuple(press_states),
         step_count=jnp.zeros((), jnp.int32),
         stats=_empty_stats(config.outer_steps, x0.dtype),
     )
@@ -127,6 +131,7 @@ def newton_step(
     bc_specs: Tuple[bcmod.BCSpec, ...],
     state: SimState,
     coarse: coarsemod.CoarseSpace | None = None,
+    press_specs: Tuple[pressmod.PressSpec, ...] = (),
 ) -> SimState:
     """One implicit BDF timestep. `coarse` enables the two-level
     rigid-body-coarse preconditioner (solvers/coarse.py)."""
@@ -143,6 +148,14 @@ def newton_step(
     use_vcollision = "collision" in config.variables and have_frames
     use_friction = "friction" in config.variables and have_frames
     dhat, kappa = config.dhat, config.kappa
+
+    # dynamic external forces (MechanicalPress controllers)
+    press_ext = jnp.zeros_like(state.x)
+    for spec, pst in zip(press_specs, state.press_states):
+        press_ext = press_ext + pressmod.press_force(
+            spec, pst, mesh.nv, mesh.dim
+        )
+    mesh = mesh.replace(ext_force=mesh.ext_force + press_ext)
 
     target = disp.target(mesh, state.bdf, blend=config.inertia_blend_factor)
 
@@ -360,6 +373,11 @@ def newton_step(
         V, bcst = bcmod.bc_step(spec, bcst, V, config.h)
         new_bc_states.append(bcst)
 
+    new_press_states = tuple(
+        pressmod.press_step(spec, pst, V, config.h)
+        for spec, pst in zip(press_specs, state.press_states)
+    )
+
     # --- post_solve: BDF history push with BC-moved positions, clear la
     bdf = bdfmod.bdf_update(state.bdf, V)
 
@@ -370,6 +388,7 @@ def newton_step(
         bdf=bdf,
         bc_states=tuple(new_bc_states),
         contact=state.contact,
+        press_states=new_press_states,
         step_count=state.step_count + 1,
         stats=stats,
     )
