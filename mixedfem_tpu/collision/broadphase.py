@@ -31,7 +31,15 @@ from mixedfem_tpu.collision.distances import EE, PE, PP, PT
 
 def _grid_pairs(P0: np.ndarray, P1: np.ndarray, cell: float):
     """All (i, j) pairs with |bbox dist| possibly < cell between point sets
-    P0 (n0, d) and P1 (n1, d) via integer cell binning (26-neighborhood)."""
+    P0 (n0, d) and P1 (n1, d) via integer cell binning (26-neighborhood).
+
+    Uses the native C++ grid hash when available (csrc/native.cpp),
+    numpy/dict fallback otherwise."""
+    from mixedfem_tpu.utils import native
+
+    res = native.grid_pairs(P0, P1, cell)
+    if res is not None:
+        return res
     d = P0.shape[1]
     c0 = np.floor(P0 / cell).astype(np.int64)
     c1 = np.floor(P1 / cell).astype(np.int64)

@@ -20,7 +20,19 @@ import numpy as np
 
 
 def read_mesh(path: str):
-    """Read a MEDIT .mesh file -> (V (nv,3) f64, T (nt,4) i32, F (nf,3) i32)."""
+    """Read a MEDIT .mesh file -> (V (nv,3) f64, T (nt,4) i32, F (nf,3) i32).
+
+    Uses the native C++ parser when built (csrc/native.cpp); pure-python
+    fallback below (triangles section only read by the fallback)."""
+    try:
+        from mixedfem_tpu.utils import native
+
+        res = native.parse_mesh(path)
+        if res is not None and len(res[1]):
+            V, T = res
+            return V, T, np.zeros((0, 3), np.int32)
+    except Exception:
+        pass
     with open(path, "r") as f:
         tokens = f.read().split()
     i = 0

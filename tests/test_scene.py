@@ -70,3 +70,33 @@ class TestReferenceScenes:
         assert sim.mesh.dim == 2
         sim.step()
         assert np.isfinite(np.asarray(sim.state.x)).all()
+
+
+class TestNative:
+    def test_native_grid_pairs_matches_fallback(self):
+        from mixedfem_tpu.utils import native
+
+        rng = np.random.default_rng(0)
+        P = rng.random((500, 3))
+        Q = rng.random((400, 3))
+        res = native.grid_pairs(P, Q, 0.2)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        i, j = res
+        # brute force within-cell-neighborhood check: all true pairs within
+        # distance 0.2 must be included
+        d = np.linalg.norm(P[:, None] - Q[None], axis=-1)
+        ti, tj = np.nonzero(d < 0.2)
+        got = set(zip(i.tolist(), j.tolist()))
+        for a, b in zip(ti.tolist(), tj.tolist()):
+            assert (a, b) in got
+
+    def test_native_mesh_parser_matches_python(self):
+        from mixedfem_tpu.utils import native
+
+        res = native.parse_mesh("/root/reference/models/mesh/beam.mesh")
+        if res is None:
+            pytest.skip("native lib unavailable")
+        V, T = res
+        assert V.shape == (751, 3)
+        assert T.min() >= 0 and T.max() < 751
