@@ -100,7 +100,7 @@ def main():
         np.asarray(mesh.V0),
         np.asarray(mesh.T),
         ~np.asarray(mesh.free_mask, bool),
-        target_size=64,
+        target_size=48,
         dtype=jnp.float32,
     )
     ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs)

@@ -164,6 +164,17 @@ def newton_step(
         ffr = fric.build(mesh, cf, state.x, dhat, kappa)
         epsv_h = config.espv * dt
 
+    # Two-level coarse preconditioner: assemble + invert ONCE per step from
+    # the initial iterate (the reference refactors its preconditioners once
+    # per outer cycle too, preconditioners.h:94-102). Newton updates change
+    # H mildly within a step; the preconditioner only affects CG iteration
+    # counts, not solutions.
+    if coarse is not None:
+        coeffs0 = ms.update(mesh, state.x, state.s, dt) if use_mixed else None
+        Ac_inv = coarsemod.coarse_inverse(
+            coarsemod.coarse_matrix(mesh, coarse, coeffs0)
+        )
+
     def newton_cond(carry):
         x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
         return jnp.logical_and(
@@ -224,10 +235,6 @@ def newton_step(
 
         bj = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
         if coarse is not None:
-            Ac = coarsemod.coarse_matrix(
-                mesh, coarse, coeffs if use_mixed else None
-            )
-            Ac_inv = coarsemod.coarse_inverse(Ac)
 
             def Minv(r):
                 return coarsemod.two_level_apply(

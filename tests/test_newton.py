@@ -230,3 +230,28 @@ class TestDirectOracle:
         np.testing.assert_allclose(
             np.asarray(dx).reshape(-1), dx_direct, atol=1e-8 * scale
         )
+
+
+class TestCoarsePreconditioner:
+    def test_two_level_same_solution_fewer_iters(self):
+        from mixedfem_tpu.solvers import coarse as cz
+
+        mesh, V = small_beam(6, 3, 3, ym=1e7)
+        config = SimConfig(
+            h=0.01, outer_steps=3, itr_tol=1e-8,
+            max_iterative_solver_iters=3000, dtype="float64",
+        )
+        state = make_state(mesh, config)
+        s1 = newton.newton_step(mesh, config, (), state)
+        cs = cz.build_coarse_space(
+            np.asarray(mesh.V0), np.asarray(mesh.T),
+            ~np.asarray(mesh.free_mask, bool), target_size=32,
+            dtype=jnp.float64,
+        )
+        s2 = newton.newton_step(mesh, config, (), state, cs)
+        np.testing.assert_allclose(
+            np.asarray(s1.x), np.asarray(s2.x), atol=1e-9
+        )
+        it1 = np.asarray(s1.stats.solver_iters)[: int(s1.stats.iterations)]
+        it2 = np.asarray(s2.stats.solver_iters)[: int(s2.stats.iterations)]
+        assert it2.sum() < it1.sum(), (it1, it2)
