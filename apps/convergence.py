@@ -21,7 +21,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_convergence(scene, dim, steps, out_path, dtype=None, itr_tol=None):
+def run_convergence(scene, dim, steps, out_path, dtype=None, itr_tol=None,
+                    dhat=None):
     from mixedfem_tpu.io.scene import load_scene
     from mixedfem_tpu.io import mesh_io
 
@@ -33,6 +34,8 @@ def run_convergence(scene, dim, steps, out_path, dtype=None, itr_tol=None):
     cfg = dataclasses.replace(cfg, record_vanilla_gradient=True)
     if itr_tol is not None:
         cfg = dataclasses.replace(cfg, itr_tol=itr_tol)
+    if dhat is not None:
+        cfg = dataclasses.replace(cfg, dhat=dhat)
     sim.config = cfg
 
     M = cfg.outer_steps
@@ -61,6 +64,7 @@ def main():
     ap.add_argument("--out", default="output/convergence.dmat")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--sweep-tol", action="store_true")
+    ap.add_argument("--sweep-dhat", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -78,6 +82,15 @@ def main():
             run_convergence(
                 args.scene, args.dim, args.steps, out,
                 dtype=args.dtype, itr_tol=float(tol),
+            )
+    elif args.sweep_dhat:
+        # convergence_collision.cpp:88-130 — dhat in {1e-2 .. 1e-4} (8 values)
+        dhats = np.logspace(-2, -4, 8)
+        for i, dh in enumerate(dhats):
+            out = args.out.replace(".dmat", f"_dhat{i:02d}.dmat")
+            run_convergence(
+                args.scene, args.dim, args.steps, out,
+                dtype=args.dtype, dhat=float(dh),
             )
     else:
         run_convergence(args.scene, args.dim, args.steps, args.out, args.dtype)

@@ -109,15 +109,25 @@ def main():
     extras["newton_iters"] = it
     extras["cg_iters_per_newton"] = [int(c) for c in cg]
 
-    # 10k tets accelerator vs CPU for vs_baseline
+    # 10k tets accelerator vs CPU for vs_baseline (same solver config both)
     mesh, config, state, nt10 = build(20, 10, 10, "float32")  # 10k tets
-    ms_10k, _, _, _ = time_steps(mesh, config, state, n_steps=5)
+    cs10 = build_coarse_space(
+        np.asarray(mesh.V0),
+        np.asarray(mesh.T),
+        ~np.asarray(mesh.free_mask, bool),
+        target_size=48,
+        dtype=jnp.float32,
+    )
+    ms_10k, _, _, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs10)
     extras["ms_per_step_10k_tets"] = round(ms_10k, 3)
 
     vs_baseline = None
     try:
         mesh_c, config_c, state_c, _ = build(20, 10, 10, "float32", backend_device=cpu)
-        ms_cpu_10k, _, _, _ = time_steps(mesh_c, config_c, state_c, n_steps=2)
+        cs10c = jax.device_put(cs10, cpu)
+        ms_cpu_10k, _, _, _ = time_steps(
+            mesh_c, config_c, state_c, n_steps=2, coarse=cs10c
+        )
         extras["ms_per_step_10k_tets_cpu"] = round(ms_cpu_10k, 3)
         vs_baseline = ms_cpu_10k / ms_10k
     except Exception as e:  # CPU backend may be unavailable under the tunnel
