@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: windowed segment-sum (the FEM assembly scatter).
+
+The element->vertex scatter-add is the single hottest op of the implicit
+step (SURVEY §3.2 hot loop #3; ~3 ms per 400k rows via XLA's scatter on the
+test slice). TPU has no efficient general scatter, but the FEM assembly
+has structure: with contribution rows PRE-SORTED by destination vertex
+(a static permutation — mesh topology is fixed), the rows of one chunk
+target a tiny contiguous vertex window (~chunk/avg_degree vertices). Each
+grid step then reduces its chunk with a small one-hot contraction in VMEM
+and accumulates into a dynamic slice of the output:
+
+  out[win_start_c : win_start_c + W] += onehot(lidx)^T @ chunk   (VPU)
+
+The output block lives in VMEM across the sequential grid (constant index
+map), so accumulation across overlapping windows is race-free.
+
+Static plan (built once per mesh): sorted permutation, per-chunk window
+starts, per-row local indices. Rows are padded to a chunk multiple with an
+inert row targeting local index W-1 of the last window with zero value
+(handled by padding the VALUE array with zeros).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class ScatterPlan(NamedTuple):
+    perm: jnp.ndarray        # (Rp,) int32 source row for each sorted slot
+    lidx: jnp.ndarray        # (Rp,) int32 local window index per sorted slot
+    win_start: jnp.ndarray   # (nchunks,) int32 window start vertex
+    nrows: int               # original (unpadded) row count
+    chunk: int               # rows per chunk
+    W: int                   # window size (max distinct vertices per chunk + pad)
+    nv: int
+
+
+def build_scatter_plan(
+    seg_ids: np.ndarray, nv: int, chunk: int = 2048, lane: int = 128
+) -> ScatterPlan:
+    """seg_ids: (R,) destination vertex per contribution row (static)."""
+    seg_ids = np.asarray(seg_ids, np.int64)
+    R = len(seg_ids)
+    order = np.argsort(seg_ids, kind="stable").astype(np.int32)
+    sorted_ids = seg_ids[order]
+    Rp = ((R + chunk - 1) // chunk) * chunk
+    nchunks = Rp // chunk
+
+    pad = Rp - R
+    sorted_ids_p = np.concatenate(
+        [sorted_ids, np.full(pad, sorted_ids[-1] if R else 0)]
+    )
+    # padded slots read the extra zero row appended to the value array
+    perm_p = np.concatenate([order, np.full(pad, R, np.int32)])
+    win_start = np.empty(nchunks, np.int32)
+    lidx = np.empty(Rp, np.int32)
+    W = 0
+    for c in range(nchunks):
+        lo = c * chunk
+        ids = sorted_ids_p[lo : lo + chunk]
+        v0 = ids[0]
+        win_start[c] = v0
+        lidx[lo : lo + chunk] = ids - v0
+        W = max(W, int(ids[-1] - v0) + 1)
+    W = ((W + lane - 1) // lane) * lane
+    # clamp window starts so windows stay in-bounds
+    win_start = np.minimum(win_start, max(nv - W, 0)).astype(np.int32)
+    for c in range(nchunks):
+        lo = c * chunk
+        lidx[lo : lo + chunk] = (
+            sorted_ids_p[lo : lo + chunk] - win_start[c]
+        ).astype(np.int32)
+    assert lidx.min() >= 0 and lidx.max() < W
+    return ScatterPlan(
+        perm=jnp.asarray(perm_p),
+        lidx=jnp.asarray(lidx),
+        win_start=jnp.asarray(win_start),
+        nrows=R,
+        chunk=chunk,
+        W=W,
+        nv=nv,
+    )
+
+
+def _make_kernel(W: int, nv: int, chunk: int, d: int):
+    def kernel(ws_ref, vals_ref, lidx_ref, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        # one-hot reduce on the VPU: sums[w, j] = sum_b [lidx[b] == w] vals[b, j]
+        # (W on the lane axis; MXU would run bf16 passes and lose precision)
+        lidx = lidx_ref[:, 0]  # (chunk,)
+        vals = vals_ref[:, :]  # (chunk, d)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 1)
+        oh = (lidx[:, None] == cols).astype(vals.dtype)  # (chunk, W)
+        sums_t = [
+            jnp.sum(oh * vals[:, j][:, None], axis=0) for j in range(d)
+        ]  # d x (W,)
+        sums = jnp.stack(sums_t, axis=-1)  # (W, d)
+        v0 = ws_ref[c]
+        cur = out_ref[pl.ds(v0, W), :]
+        out_ref[pl.ds(v0, W), :] = cur + sums
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static",))
+def _scatter_call(vals_sorted, lidx2d, win_start, plan_static):
+    chunk, W, nv, d, nchunks = plan_static
+    kernel = _make_kernel(W, nv, chunk, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, d), lambda c, ws: (c, 0)),
+            pl.BlockSpec((chunk, 1), lambda c, ws: (c, 0)),
+        ],
+        out_specs=pl.BlockSpec((nv, d), lambda c, ws: (0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nv, d), vals_sorted.dtype),
+    )(win_start, vals_sorted, lidx2d)
+
+
+def scatter_add(plan: ScatterPlan, vals: jnp.ndarray) -> jnp.ndarray:
+    """Segment-sum vals (R, d) by the planned segments -> (nv, d)."""
+    R, d = vals.shape
+    assert R == plan.nrows
+    Rp = plan.perm.shape[0]
+    if Rp > R:
+        vals_pad = jnp.concatenate(
+            [vals, jnp.zeros((1, d), vals.dtype)], axis=0
+        )
+        vs = vals_pad[plan.perm]
+    else:
+        vs = vals[plan.perm]
+    nchunks = Rp // plan.chunk
+    out = _scatter_call(
+        vs,
+        plan.lidx[:, None],
+        plan.win_start,
+        (plan.chunk, plan.W, plan.nv, d, nchunks),
+    )
+    return out

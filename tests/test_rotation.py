@@ -179,3 +179,22 @@ class TestPSD:
         Hp = np.einsum("bij,bkj->bik", H, H) + 1e-3 * np.eye(6)
         Hf2, _, _ = _psd_fix(jnp.asarray(Hp), sweeps=10)
         np.testing.assert_allclose(np.asarray(Hf2), Hp, atol=1e-8)
+
+
+class TestPallasScatter:
+    def test_windowed_scatter_matches_segment_sum(self):
+        """Pallas windowed segment-sum (interpret mode on CPU) == XLA."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from mixedfem_tpu.ops import pallas_scatter as psc
+
+        rng = np.random.default_rng(3)
+        nv, R, d = 500, 6000, 3
+        seg = rng.integers(0, nv, R)
+        vals = rng.standard_normal((R, d)).astype(np.float32)
+        plan = psc.build_scatter_plan(seg, nv, chunk=512)
+        with pltpu.force_tpu_interpret_mode():
+            out = psc.scatter_add(plan, jnp.asarray(vals))
+        ref = np.zeros((nv, d), np.float32)
+        np.add.at(ref, seg, vals)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
