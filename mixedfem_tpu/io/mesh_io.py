@@ -34,7 +34,9 @@ def read_mesh(path: str):
     except Exception:
         pass
     with open(path, "r") as f:
-        tokens = f.read().split()
+        # strip comment lines (# ...) — some .mesh files carry them
+        lines = [ln for ln in f if not ln.lstrip().startswith("#")]
+    tokens = " ".join(lines).split()
     i = 0
     V = np.zeros((0, 3))
     T = np.zeros((0, 4), dtype=np.int32)
