@@ -67,6 +67,10 @@ def main():
             v = np.asarray(sim.state.bdf.v_hist[0])
             mesh_io.write_dmat(os.path.join(args.out, f"sim_v_{step:04d}.dmat"), v)
         if args.export_obj:
+            for i, (Vr, Fr) in enumerate(sim.skinned_surfaces()):
+                mesh_io.write_obj(
+                    os.path.join(args.out, f"skin{i}_{step:04d}.obj"), Vr, Fr
+                )
             if args.dim == 3:
                 mesh_io.write_obj(
                     os.path.join(args.out, f"frame_{step:04d}.obj"), V, F_srf

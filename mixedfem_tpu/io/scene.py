@@ -44,6 +44,19 @@ class Simulation:
     obj_slices: List[slice]
     coarse: object = None  # optional CoarseSpace (two-level preconditioner)
     press_specs: Tuple = ()
+    skinning: Tuple = ()  # per-object (V_render, F_render, tet_id, bary)
+
+    def skinned_surfaces(self):
+        """Advect attached render meshes (reference skinning export,
+        apps/sim3d.cpp:216-251)."""
+        from mixedfem_tpu.utils.skinning import apply_skinning
+
+        X = np.asarray(self.state.x)
+        T = np.asarray(self.mesh.T)
+        out = []
+        for (Vr, Fr, tid, bary) in self.skinning:
+            out.append((apply_skinning(X, T, tid, bary), Fr))
+        return out
 
     def step(self) -> SimState:
         needs_contact = (
@@ -218,6 +231,7 @@ def load_scene(
     bc_specs: List[BCSpec] = []
     bc_states: List[BCState] = []
     press_cfgs = []
+    skinning_raw = []
     v0_list = []
     obj_slices: List[slice] = []
     bc_build_args = []  # deferred: need nv_total for global masks
@@ -277,6 +291,12 @@ def load_scene(
             target_velocity=ext_raw.get("target_velocity", 0.1),
             max_displacement=ext_raw.get("max_displacement", 0.3),
         )
+
+        if "skinning_mesh" in obj:
+            sk_path = _resolve_path(obj["skinning_mesh"], scene_dir)
+            Vr, Fr = mesh_io.read_obj(sk_path)
+            Vr = Vr / Vr.max()  # maxCoeff normalization (simulation_state.cpp:242-243)
+            skinning_raw.append((Vr, Fr, V.copy(), T.copy(), offset_v))
 
         bc_build_args.append((V.copy(), bc_cfg, offset_v))
         ext_list.append(build_external_force(V, ext_cfg))
@@ -376,6 +396,16 @@ def load_scene(
         mesh, config, tuple(bc_states), x0, jnp.asarray(v0, jdtype),
         press_states=tuple(press_states),
     )
+    # skinning embeddings (utils/skinning.py; global tet ids)
+    from mixedfem_tpu.utils.skinning import embed_in_tets
+
+    skinning = []
+    for (Vr, Fr, V_obj, T_obj, off_i) in skinning_raw:
+        tid, bary = embed_in_tets(Vr, V_obj, T_obj)
+        # remap local tet ids to global element indices
+        tet_offset = sum(len(t) for t, sl in zip(Ts, obj_slices) if sl.start < off_i)
+        skinning.append((Vr, Fr, tid + tet_offset, bary))
+
     return Simulation(
         mesh=mesh,
         config=config,
@@ -384,4 +414,5 @@ def load_scene(
         dim=dim,
         obj_slices=obj_slices,
         press_specs=tuple(press_specs),
+        skinning=tuple(skinning),
     )

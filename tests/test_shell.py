@@ -119,3 +119,63 @@ class TestClothDrape:
         _, S = rotation.polar33(F)
         sv = np.asarray(sym.pack(S))
         assert np.abs(sv[:, :3] - 1).max() < 0.5
+
+
+class TestRod:
+    def test_rod_def_grad_identity_at_rest(self):
+        from mixedfem_tpu.mesh import rod as rodmod
+
+        V = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0.5, 0]])
+        E = np.array([[0, 1], [1, 2]], np.int32)
+        t0, L, N0, B0 = rodmod.rod_rest_frames(V, E)
+        F = np.asarray(
+            rodmod.rod_def_grad(
+                jnp.asarray(V), jnp.asarray(E), jnp.asarray(t0),
+                jnp.asarray(N0), jnp.asarray(B0), jnp.asarray(L),
+            )
+        )
+        np.testing.assert_allclose(F, np.tile(np.eye(3), (2, 1, 1)), atol=1e-7)
+
+    def test_rod_rigid_rotation_stretch_free(self):
+        from mixedfem_tpu.mesh import rod as rodmod
+        from mixedfem_tpu.ops import rotation, sym
+
+        V = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+        E = np.array([[0, 1]], np.int32)
+        t0, L, N0, B0 = rodmod.rod_rest_frames(V, E)
+        th = 0.6
+        R = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]
+        )
+        x = V @ R.T
+        F = rodmod.rod_def_grad(
+            jnp.asarray(x), jnp.asarray(E), jnp.asarray(t0),
+            jnp.asarray(N0), jnp.asarray(B0), jnp.asarray(L),
+        )
+        _, S = rotation.polar33(F)
+        sv = np.asarray(sym.pack(S))
+        np.testing.assert_allclose(
+            sv, [[1, 1, 1, 0, 0, 0]], atol=1e-6
+        )
+
+    def test_rod_jacobian_fd(self):
+        from mixedfem_tpu.mesh import rod as rodmod
+
+        rng = np.random.default_rng(0)
+        V = np.array([[0.0, 0, 0], [1.1, 0.2, -0.1]])
+        E = np.array([[0, 1]], np.int32)
+        t0, L, N0, B0 = rodmod.rod_rest_frames(V, E)
+        x = V + 0.1 * rng.standard_normal(V.shape)
+        args = (jnp.asarray(E), jnp.asarray(t0), jnp.asarray(N0),
+                jnp.asarray(B0), jnp.asarray(L))
+        JT = np.asarray(rodmod.rod_def_grad_jacobian(jnp.asarray(x), *args))
+        h = 1e-6
+        for k in range(2):
+            for r in range(3):
+                xp = x.copy(); xp[k, r] += h
+                xm = x.copy(); xm[k, r] -= h
+                Fp = np.asarray(rodmod.rod_def_grad(jnp.asarray(xp), *args))[0]
+                Fm = np.asarray(rodmod.rod_def_grad(jnp.asarray(xm), *args))[0]
+                np.testing.assert_allclose(
+                    JT[0, k, r], (Fp - Fm) / (2 * h), atol=1e-5
+                )
