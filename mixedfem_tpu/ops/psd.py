@@ -28,3 +28,16 @@ def psd_fix(H: jnp.ndarray, tol: float = 1e-8, sweeps: int = 8):
     Hf = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
     Hi = jnp.einsum("...ik,...k,...jk->...ij", V, 1.0 / w, V)
     return Hf, Hi, jnp.max(w, axis=-1)
+
+
+def psd_fix_sqrt(H: jnp.ndarray, tol: float = 1e-8, sweeps: int = 8):
+    """Like psd_fix but also returns the symmetric square root H^{1/2}
+    (used to factor the condensed element stiffness A_e = W^T W with
+    W = sqrt(vol) H^{1/2} G — halves the per-CG-iteration operand reads)."""
+    H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+    w, V = jacobi_eigh(H, sweeps=sweeps)
+    w = jnp.maximum(w, jnp.asarray(tol, H.dtype))
+    Hf = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
+    Hi = jnp.einsum("...ik,...k,...jk->...ij", V, 1.0 / w, V)
+    Hs = jnp.einsum("...ik,...k,...jk->...ij", V, jnp.sqrt(w), V)
+    return Hf, Hi, Hs, jnp.max(w, axis=-1)

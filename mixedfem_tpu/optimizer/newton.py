@@ -192,7 +192,6 @@ def newton_step(
         )
         b = -inertia_grad
         blocks = mesh.mass_diag[:, None, None] * eye
-        elastic_grad = jnp.zeros_like(b)
 
         if use_mixed:
             coeffs = ms.update(mesh, x, s, dt)
@@ -200,8 +199,7 @@ def newton_step(
             blocks = blocks + ms.diag_blocks(mesh, coeffs)
         if use_vanilla:
             vcoeffs = vstretch.update(mesh, x, dt)
-            elastic_grad = vstretch.gradient(mesh, vcoeffs)
-            b = b - elastic_grad
+            b = b - vstretch.gradient(mesh, vcoeffs)
             blocks = blocks + vstretch.diag_blocks(mesh, vcoeffs)
         if use_contact:
             ccoeffs = mc.update(mesh, cf, x, cd, cla, cact, dhat, kappa)

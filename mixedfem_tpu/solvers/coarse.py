@@ -144,19 +144,18 @@ def coarse_matrix(
     B = _vert_modes(cs, mesh.free_mask, d)     # (nv, d, 6)
     Be = B[mesh.T]                             # (E, k, d, 6)
 
-    # per-element corner-pair blocks K[e,k,l] (d x d)
-    eye = jnp.eye(d, dtype=dt)
-    Kkl = mesh.mass_coeff[:, :, :, None, None] * eye
+    # Coarse element blocks without materializing the (E,k,k,d,d) Kkl
+    # tensor: fold Be into G first (GB[e,i,k,a] = sum_r G[e,i,k,r] Be[e,k,r,a]),
+    # then contract through H — ~4x less intermediate traffic.
+    blocks = jnp.einsum(
+        "ekl,ekra,elrb->eklab", mesh.mass_coeff, Be, Be
+    )  # mass part (E,k,k,6,6)
     if ms_coeffs is not None:
-        Kkl = Kkl + jnp.einsum(
-            "eikr,eij,ejls,e->eklrs",
-            ms_coeffs.G,
-            ms_coeffs.H,
-            ms_coeffs.G,
-            mesh.vols,
+        GB = jnp.einsum("eikr,ekra->eika", ms_coeffs.G, Be)  # (E, N, k, 6)
+        Y = jnp.einsum("eij,eika->ejka", ms_coeffs.H, GB)
+        blocks = blocks + jnp.einsum(
+            "ejka,ejlb,e->eklab", Y, GB, mesh.vols
         )
-
-    blocks = jnp.einsum("ekra,eklrs,elsb->eklab", Be, Kkl, Be)  # (E,k,k,6,6)
     flat = blocks.reshape(-1, 36)
     npairs = cs.pair_rows.shape[0]
     pair_sums = jax.ops.segment_sum(

@@ -38,6 +38,7 @@ class StretchCoeffs:
     """Per-Newton-iteration linearization data (all per-element)."""
 
     G: jnp.ndarray        # (E, N, k, d) ds/dx element jacobian
+    Gw: jnp.ndarray       # (E, N, k, d) sqrt(vol) H^{1/2} G (A_e = Gw^T Gw)
     H: jnp.ndarray        # (E, N, N) PSD-fixed h^2 psi''
     Hinv: jnp.ndarray     # (E, N, N)
     g: jnp.ndarray        # (E, N) h^2 psi'
@@ -69,9 +70,14 @@ def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
 
     h2 = dt * dt
     Hraw = h2 * mat.hess_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
-    H, Hinv, evals = psd.psd_fix(Hraw, tol=1e-8)
+    H, Hinv, Hs, evals = psd.psd_fix_sqrt(Hraw, tol=1e-8)
     g = h2 * mat.grad_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
-    return StretchCoeffs(G=G, H=H, Hinv=Hinv, g=g, Sv=Sv, R=R, max_evals=evals)
+    Gw = jnp.sqrt(mesh.vols)[:, None, None, None] * jnp.einsum(
+        "eij,ejkr->eikr", Hs, G
+    )
+    return StretchCoeffs(
+        G=G, Gw=Gw, H=H, Hinv=Hinv, g=g, Sv=Sv, R=R, max_evals=evals
+    )
 
 
 def rhs(mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray):
@@ -85,12 +91,12 @@ def rhs(mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray):
 
 
 def matvec(mesh: meshmod.MeshData, c: StretchCoeffs, p: jnp.ndarray):
-    """Stretch block of the condensed SPD operator: P (sum_e vol G^T H G) P^T p."""
+    """Stretch block of the condensed SPD operator in the factored form
+    P (sum_e Gw^T Gw) P^T p, Gw = sqrt(vol) H^{1/2} G."""
     p = meshmod.project_free(mesh, p)
     pe = p[mesh.T]                                         # (E, k, d)
-    q = jnp.einsum("eikr,ekr->ei", c.G, pe)                # (E, N)
-    y = jnp.einsum("eij,ej->ei", c.H, q)
-    contrib = jnp.einsum("eikr,ei,e->ekr", c.G, y, mesh.vols)
+    q = jnp.einsum("eikr,ekr->ei", c.Gw, pe)               # (E, N)
+    contrib = jnp.einsum("eikr,ei->ekr", c.Gw, q)
     out = jax.ops.segment_sum(
         contrib.reshape(-1, mesh.dim), mesh.T.reshape(-1), num_segments=mesh.nv
     )
@@ -100,7 +106,7 @@ def matvec(mesh: meshmod.MeshData, c: StretchCoeffs, p: jnp.ndarray):
 def diag_blocks(mesh: meshmod.MeshData, c: StretchCoeffs):
     """Per-vertex (d, d) diagonal blocks of the stretch stiffness, for the
     block-Jacobi preconditioner (reference: preconditioners/block_jacobi.h)."""
-    B = jnp.einsum("eikr,eij,ejks,e->ekrs", c.G, c.H, c.G, mesh.vols)
+    B = jnp.einsum("eikr,eiks->ekrs", c.Gw, c.Gw)
     return jax.ops.segment_sum(
         B.reshape(-1, mesh.dim, mesh.dim),
         mesh.T.reshape(-1),
