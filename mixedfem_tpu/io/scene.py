@@ -365,6 +365,16 @@ def load_scene(
 
     x0 = jnp.asarray(V, jdtype)
 
+    # Two-level preconditioner for anything beyond toy size (it only
+    # changes CG iteration counts, not solutions).
+    coarse = None
+    if len(T) >= 2000:
+        from mixedfem_tpu.solvers.coarse import build_coarse_space
+
+        coarse = build_coarse_space(
+            V, T, is_fixed, target_size=48, dtype=jdtype
+        )
+
     # MechanicalPress controllers (press_force.h)
     from mixedfem_tpu.bc.boundary_conditions import boundary_groups
     from mixedfem_tpu.bc.press import PressSpec, press_init
@@ -413,6 +423,7 @@ def load_scene(
         state=state,
         dim=dim,
         obj_slices=obj_slices,
+        coarse=coarse,
         press_specs=tuple(press_specs),
         skinning=tuple(skinning),
     )
