@@ -100,3 +100,28 @@ class TestNative:
         V, T = res
         assert V.shape == (751, 3)
         assert T.min() >= 0 and T.max() < 751
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SCENES), reason="reference absent")
+class TestSceneVocabulary:
+    """Representative scene-vocabulary coverage (the full 33-scene sweep of
+    scenes/2D + scenes/3D loads clean; run /tmp-style sweeps manually)."""
+
+    @pytest.mark.parametrize(
+        "dim,name",
+        [
+            (2, "trampoline.json"),     # two objects, contact, hang BC
+            (2, "press.json"),          # mechanical press external force
+            (3, "beam_twist.json"),     # twist BC, per-object force
+            (3, "collision_drop_bar.json"),  # two meshes, CCD
+            (3, "bunny.json"),          # irregular tet mesh
+            (3, "collision_drop_spot.json"),  # skinning_mesh
+        ],
+    )
+    def test_scene_loads(self, dim, name):
+        p = f"{REF_SCENES}/{dim}D/{name}"
+        if not os.path.exists(p):
+            pytest.skip(f"{name} absent")
+        sim = load_scene(p, dim=dim)
+        assert sim.mesh.nelem > 0
+        assert np.isfinite(np.asarray(sim.state.x)).all()
