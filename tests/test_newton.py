@@ -255,3 +255,69 @@ class TestCoarsePreconditioner:
         it1 = np.asarray(s1.stats.solver_iters)[: int(s1.stats.iterations)]
         it2 = np.asarray(s2.stats.solver_iters)[: int(s2.stats.iterations)]
         assert it2.sum() < it1.sum(), (it1, it2)
+
+
+class TestConstraintGradients:
+    """FD checks of the mixed constraint energy c(x, s, la) =
+    sum_e vol la^T Sym (S(x) - s)  — the reference's
+    tests/test_constraint_energies.cpp methodology."""
+
+    def test_grad_x_fd(self):
+        from mixedfem_tpu.ops import sym as symmod
+
+        mesh, V = small_beam(2, 1, 1)
+        rng = np.random.default_rng(0)
+        x = V + 0.05 * rng.standard_normal(V.shape)
+        x[~np.asarray(mesh.free_mask, bool)] = V[~np.asarray(mesh.free_mask, bool)]
+        s0, _ = ms.reset(mesh, jnp.asarray(V))
+        s = np.asarray(s0) * 1.02
+        la = rng.standard_normal(s.shape)
+
+        dt = 0.02
+        coeffs = ms.update(mesh, jnp.asarray(x), jnp.asarray(s), dt)
+        gx = np.asarray(ms.gradient_x(mesh, coeffs, jnp.asarray(la)))
+
+        h = 1e-6
+        free = np.asarray(mesh.free_mask, bool)
+        for v in np.nonzero(free)[0][:4]:
+            for r in range(3):
+                xp = x.copy(); xp[v, r] += h
+                xm = x.copy(); xm[v, r] -= h
+                cp = float(ms.constraint_value(mesh, jnp.asarray(xp), jnp.asarray(s), jnp.asarray(la)))
+                cm = float(ms.constraint_value(mesh, jnp.asarray(xm), jnp.asarray(s), jnp.asarray(la)))
+                fd = (cp - cm) / (2 * h)
+                np.testing.assert_allclose(gx[v, r], fd, rtol=2e-4, atol=1e-6)
+
+    def test_grad_s_and_la_closed_form(self):
+        """d c / d s = -vol Sym la; d c / d la = vol Sym (S(x) - s)."""
+        from mixedfem_tpu.ops import sym as symmod
+
+        mesh, V = small_beam(2, 1, 1)
+        rng = np.random.default_rng(1)
+        x = V + 0.05 * rng.standard_normal(V.shape)
+        s0, _ = ms.reset(mesh, jnp.asarray(V))
+        s = np.asarray(s0) * 1.02
+        la = rng.standard_normal(s.shape)
+
+        w = np.asarray(symmod.sym_weights(3))
+        vols = np.asarray(mesh.vols)
+        Sv, _ = ms.stretch_of_x(mesh, jnp.asarray(x))
+        Sv = np.asarray(Sv)
+
+        h = 1e-7
+        for e in range(mesh.nelem):
+            for i in range(6):
+                sp = s.copy(); sp[e, i] += h
+                sm = s.copy(); sm[e, i] -= h
+                cp = float(ms.constraint_value(mesh, jnp.asarray(x), jnp.asarray(sp), jnp.asarray(la)))
+                cm = float(ms.constraint_value(mesh, jnp.asarray(x), jnp.asarray(sm), jnp.asarray(la)))
+                fd = (cp - cm) / (2 * h)
+                expected = -vols[e] * w[i] * la[e, i]
+                np.testing.assert_allclose(fd, expected, rtol=1e-4, atol=1e-7)
+                lp = la.copy(); lp[e, i] += h
+                lm = la.copy(); lm[e, i] -= h
+                cp = float(ms.constraint_value(mesh, jnp.asarray(x), jnp.asarray(s), jnp.asarray(lp)))
+                cm = float(ms.constraint_value(mesh, jnp.asarray(x), jnp.asarray(s), jnp.asarray(lm)))
+                fd = (cp - cm) / (2 * h)
+                expected = vols[e] * w[i] * (Sv[e, i] - s[e, i])
+                np.testing.assert_allclose(fd, expected, rtol=1e-4, atol=1e-7)
