@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--save-substeps", action="store_true",
                     help="export sim_x0_%%04d.dmat / sim_v_%%04d.dmat per step")
     ap.add_argument("--dtype", default=None)
+    ap.add_argument("--timing-csv", default=None,
+                    help="append per-step wall-clock rows (reference timing.csv format)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -56,6 +58,9 @@ def main():
         sim.step()
         data.timer.stop("step")
         data.add_step_stats(sim.state.stats)
+        if args.timing_csv:
+            data.timer.write_csv(args.timing_csv, step)
+            data.timer.clear()
         if sim.config.show_data:
             print(f"--- step {step}")
             data.print_data(sim.config.show_timing)
