@@ -80,7 +80,65 @@ def time_steps(mesh, config, state, n_steps=5, coarse=None):
     return dt_ms, it, cg, state
 
 
+def stage_breakdown(mesh, config, state, coarse=None, reps=5):
+    """Per-stage wall-clock (the reference's timing.csv categories:
+    rotations/derivatives -> update, linsolve -> matvec x CG iters, LS ->
+    energy evals, assemble -> scatter inside matvec). Stages are jitted
+    separately here since the production step fuses them in one program."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixedfem_tpu.integrators import bdf as bdfmod
+    from mixedfem_tpu.solvers import coarse as coarsemod
+    from mixedfem_tpu.solvers import operator as opmod
+    from mixedfem_tpu.variables import displacement as disp
+    from mixedfem_tpu.variables import mixed_stretch as ms
+
+    dt = bdfmod.bdf_dt(state.bdf)
+    x, s = state.x, state.s
+
+    def timed(fn, *args):
+        o = fn(*args)
+        _sync(jax.tree.leaves(o)[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fn(*args)
+        _sync(jax.tree.leaves(o)[0])
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    out = {}
+    upd = jax.jit(lambda x, s: ms.update(mesh, x, s, dt))
+    out["update_ms"] = round(timed(upd, x, s), 3)
+    coeffs = upd(x, s)
+    mv = jax.jit(lambda p: opmod.element_matvec(mesh, p, ms_coeffs=coeffs))
+    out["matvec_ms"] = round(timed(mv, jnp.ones_like(x)), 3)
+    en = jax.jit(
+        lambda x: disp.energy(mesh, state.bdf, x)
+        + dt * dt * ms.energy(mesh, s)
+        + ms.constraint_value(mesh, x, s, state.la)
+    )
+    out["linesearch_energy_ms"] = round(timed(en, x), 3)
+    rhs = jax.jit(lambda: ms.rhs(mesh, coeffs, s))
+    out["rhs_ms"] = round(timed(rhs), 3)
+    db = jax.jit(lambda: ms.diag_blocks(mesh, coeffs))
+    out["diag_blocks_ms"] = round(timed(db), 3)
+    if coarse is not None:
+        ca = jax.jit(lambda c: coarsemod.coarse_matrix(mesh, coarse, c))
+        out["coarse_assembly_ms"] = round(timed(ca, coeffs), 3)
+        Ac = ca(coeffs)
+        ci = jax.jit(coarsemod.coarse_inverse)
+        out["coarse_inverse_ms"] = round(timed(ci, Ac), 3)
+    return out
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", action="store_true",
+                    help="also print the per-stage breakdown (slower)")
+    cli = ap.parse_args()
+
     import jax
 
     accel = jax.devices()[0]
@@ -106,6 +164,8 @@ def main():
     ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs)
     extras["tets_100k"] = ntets
     extras["coarse_aggregates"] = cs.naggr
+    if cli.stages:
+        extras["stages_100k"] = stage_breakdown(mesh, config, state, coarse=cs)
     extras["newton_iters"] = it
     extras["cg_iters_per_newton"] = [int(c) for c in cg]
 
