@@ -14,8 +14,6 @@ for 2D .obj files). Formats:
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 

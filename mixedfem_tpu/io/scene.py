@@ -24,7 +24,7 @@ import numpy as np
 
 from mixedfem_tpu.bc.boundary_conditions import BCConfig, BCSpec, BCState, build_bc
 from mixedfem_tpu.bc.external_force import ExtConfig, build_external_force
-from mixedfem_tpu.config import MaterialConfig, SimConfig, enu_to_lame
+from mixedfem_tpu.config import MaterialConfig, SimConfig
 from mixedfem_tpu.io import mesh_io
 from mixedfem_tpu.materials.models import model_index
 from mixedfem_tpu.mesh.mesh import MeshData, build_mesh_data

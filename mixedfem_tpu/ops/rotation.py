@@ -24,9 +24,6 @@ All functions operate on batched arrays with leading batch dims.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 
 def _eps3_np():

@@ -16,8 +16,6 @@ exchange (shard_map + ppermute) is the planned next level for >8 chips.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

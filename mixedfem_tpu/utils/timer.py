@@ -15,7 +15,7 @@ from __future__ import annotations
 import collections
 import csv
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
