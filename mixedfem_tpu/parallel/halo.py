@@ -18,7 +18,8 @@ The fused condensed matvec then runs fully local per shard:
   reverse halo-exchange of boundary contributions -> add.
 
 This is the FEM analog of sequence-parallel halo exchange (SURVEY §5);
-validated against the single-device operator on the 8-device CPU mesh.
+validated against the single-device operator on the 8-device CPU mesh
+(tests/test_sharding.py::TestHaloMatvec).
 """
 
 from __future__ import annotations

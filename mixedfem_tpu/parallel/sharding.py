@@ -11,7 +11,7 @@ the global reductions in energies/CG dot products — riding ICI).
 
 This is the `jax.sharding` + jit recipe: annotate leaf shardings, let the
 compiler place collectives. Vertex-axis partitioning with explicit halo
-exchange (shard_map + ppermute) is the planned next level for >8 chips.
+exchange (shard_map + ppermute) lives in parallel/halo.py for >8 chips.
 """
 
 from __future__ import annotations
