@@ -66,6 +66,9 @@ class SimConfig:
 
     # solver
     solver: str = "pcg"              # 'pcg' | 'direct' (host oracle)
+    # rebuild the two-level coarse preconditioner every N steps (it only
+    # affects CG iteration counts; staleness across a few steps is benign)
+    coarse_refresh_every: int = 1
     max_iterative_solver_iters: int = 500
     itr_tol: float = 1e-4
 

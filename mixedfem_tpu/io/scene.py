@@ -72,6 +72,15 @@ class Simulation:
         )
         return self.state
 
+    def attach_precond_cache(self):
+        """Size the cached coarse inverse when coarse_refresh_every > 1."""
+        if self.coarse is not None and self.config.coarse_refresh_every > 1:
+            ncd = self.coarse.ncd
+            self.state = self.state.replace(
+                precond=jnp.zeros((ncd, ncd), jnp.dtype(self.config.dtype))
+            )
+        return self
+
     def enable_coarse_preconditioner(self, target_size: int = 64):
         from mixedfem_tpu.solvers.coarse import build_coarse_space
 
@@ -82,7 +91,7 @@ class Simulation:
             target_size=target_size,
             dtype=jnp.dtype(self.config.dtype),
         )
-        return self
+        return self.attach_precond_cache()
 
     def _update_contact_candidates(self):
         """Host broadphase once per step (reference rebuilds candidates every

@@ -66,6 +66,11 @@ class SimState:
     press_states: Tuple[pressmod.PressState, ...]
     step_count: jnp.ndarray  # scalar int32
     stats: StepStats
+    # cached dense coarse inverse (ncd, ncd) when coarse_refresh_every > 1;
+    # (0, 0) otherwise
+    precond: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((0, 0))
+    )
 
 
 def empty_contact(dtype, capacity: int = 0) -> ContactFrames:
@@ -169,11 +174,29 @@ def newton_step(
     # per outer cycle too, preconditioners.h:94-102). Newton updates change
     # H mildly within a step; the preconditioner only affects CG iteration
     # counts, not solutions.
+    precond_out = state.precond
     if coarse is not None:
-        coeffs0 = ms.update(mesh, state.x, state.s, dt) if use_mixed else None
-        Ac_inv = coarsemod.coarse_inverse(
-            coarsemod.coarse_matrix(mesh, coarse, coeffs0)
-        )
+        refresh_every = max(config.coarse_refresh_every, 1)
+
+        def _build_precond():
+            coeffs0 = (
+                ms.update(mesh, state.x, state.s, dt) if use_mixed else None
+            )
+            return coarsemod.coarse_inverse(
+                coarsemod.coarse_matrix(mesh, coarse, coeffs0)
+            )
+
+        if refresh_every > 1 and state.precond.shape[0] == coarse.ncd:
+            Ac_inv = jax.lax.cond(
+                state.step_count % refresh_every == 0,
+                _build_precond,
+                lambda: state.precond,
+            )
+            precond_out = Ac_inv
+        else:
+            Ac_inv = _build_precond()
+            if refresh_every > 1:
+                precond_out = Ac_inv
 
     def newton_cond(carry):
         x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
@@ -396,4 +419,5 @@ def newton_step(
         press_states=new_press_states,
         step_count=state.step_count + 1,
         stats=stats,
+        precond=precond_out,
     )

@@ -321,3 +321,33 @@ class TestConstraintGradients:
                 fd = (cp - cm) / (2 * h)
                 expected = vols[e] * w[i] * (Sv[e, i] - s[e, i])
                 np.testing.assert_allclose(fd, expected, rtol=1e-4, atol=1e-7)
+
+
+class TestCoarseRefresh:
+    def test_cached_preconditioner_same_solutions(self):
+        """coarse_refresh_every > 1 reuses the cached inverse; solutions
+        are identical (the preconditioner only changes CG iterations)."""
+        import dataclasses
+
+        from mixedfem_tpu.solvers import coarse as cz
+
+        mesh, V = small_beam(6, 3, 3)
+        cs = cz.build_coarse_space(
+            np.asarray(mesh.V0), np.asarray(mesh.T),
+            ~np.asarray(mesh.free_mask, bool), target_size=32,
+            dtype=jnp.float64,
+        )
+        base = SimConfig(h=0.01, outer_steps=3, itr_tol=1e-10, dtype="float64")
+        cfgK = dataclasses.replace(base, coarse_refresh_every=4)
+
+        s1 = make_state(mesh, base)
+        s2 = make_state(mesh, cfgK)
+        s2 = s2.replace(precond=jnp.zeros((cs.ncd, cs.ncd), jnp.float64))
+        for _ in range(3):
+            s1 = newton.newton_step(mesh, base, (), s1, cs)
+            s2 = newton.newton_step(mesh, cfgK, (), s2, cs)
+        np.testing.assert_allclose(
+            np.asarray(s1.x), np.asarray(s2.x), atol=1e-9
+        )
+        # cached inverse is populated and reused
+        assert np.abs(np.asarray(s2.precond)).max() > 0
