@@ -46,8 +46,9 @@ def build(nx, ny, nz, dtype, backend_device=None):
         h=0.02,
         outer_steps=5,
         newton_tol=0.0,       # fixed Newton count for stable timing
-        max_iterative_solver_iters=150,
+        max_iterative_solver_iters=500,
         itr_tol=1e-4,
+        coarse_refresh_every=10,
         dtype=dtype,
     )
     x0 = jnp.asarray(V, jdtype)
@@ -161,6 +162,9 @@ def main():
         target_size=48,
         dtype=jnp.float32,
     )
+    state = state.replace(
+        precond=jnp.zeros((cs.ncd, cs.ncd), jnp.float32)
+    )
     ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs)
     extras["tets_100k"] = ntets
     extras["coarse_aggregates"] = cs.naggr
@@ -178,12 +182,20 @@ def main():
         target_size=48,
         dtype=jnp.float32,
     )
+    state = state.replace(
+        precond=jnp.zeros((cs10.ncd, cs10.ncd), jnp.float32)
+    )
     ms_10k, _, _, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs10)
     extras["ms_per_step_10k_tets"] = round(ms_10k, 3)
 
     vs_baseline = None
     try:
         mesh_c, config_c, state_c, _ = build(20, 10, 10, "float32", backend_device=cpu)
+        state_c = state_c.replace(
+            precond=jax.device_put(
+                jnp.zeros((cs10.ncd, cs10.ncd), jnp.float32), cpu
+            )
+        )
         cs10c = jax.device_put(cs10, cpu)
         ms_cpu_10k, _, _, _ = time_steps(
             mesh_c, config_c, state_c, n_steps=2, coarse=cs10c
