@@ -64,8 +64,11 @@ class SimConfig:
     dhat: float = 1e-2
     max_contact_frames: int = 0      # static padded contact set size (0 = auto)
 
-    # solver
-    solver: str = "pcg"              # 'pcg' | 'direct' (host oracle)
+    # solver: an internal path name ('pcg' | 'pcg-block-jacobi' | 'pcg-diag'
+    # | 'direct' | 'minres-kkt' | 'dual-cg') or any reference factory name
+    # ('eigen-llt', 'cholmod', 'minres-indefinite-block', 'subspace-CG', ...)
+    # — resolved by solvers/factory.py.
+    solver: str = "pcg"
     # rebuild the two-level coarse preconditioner every N steps (it only
     # affects CG iteration counts; staleness across a few steps is benign)
     coarse_refresh_every: int = 1

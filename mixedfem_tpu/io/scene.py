@@ -58,18 +58,49 @@ class Simulation:
             out.append((apply_skinning(X, T, tid, bary), Fr))
         return out
 
+    def _one_step(self) -> SimState:
+        if self.config.solver == "direct":
+            from mixedfem_tpu.optimizer.newton_direct import newton_step_direct
+
+            return newton_step_direct(
+                self.mesh, self.config, self.bc_specs, self.state,
+                self.press_specs,
+            )
+        return newton_step(
+            self.mesh, self.config, self.bc_specs, self.state,
+            self.coarse, self.press_specs,
+        )
+
     def step(self) -> SimState:
         needs_contact = (
             "mixed-collision" in self.config.mixed_variables
             or "collision" in self.config.variables
             or "friction" in self.config.variables
         )
-        if needs_contact:
-            self._update_contact_candidates()
-        self.state = newton_step(
-            self.mesh, self.config, self.bc_specs, self.state, self.coarse,
-            self.press_specs,
-        )
+        if not needs_contact:
+            self.state = self._one_step()
+            return self.state
+
+        # Candidate-staleness safety: the reference rebuilds the candidate
+        # set every Newton iteration (mixed_collision.cpp:116-118); here the
+        # set is fixed per step, built with a motion-inflated margin. If the
+        # step's ACTUAL motion exceeded the budget the margin covered, the
+        # candidates may have missed a contact — re-run the whole step from
+        # the saved pre-step state with a margin covering the observed
+        # motion (in-jit activation then catches every frame).
+        pre_state = self.state
+        budget = self._update_contact_candidates()
+        for _attempt in range(4):
+            self.state = self._one_step()
+            moved = float(
+                jnp.max(
+                    jnp.linalg.norm(self.state.x - pre_state.x, axis=1)
+                )
+            )
+            if moved <= budget:
+                break
+            self.state = pre_state
+            budget = self._update_contact_candidates(min_motion=1.5 * moved)
         return self.state
 
     def attach_precond_cache(self):
@@ -93,10 +124,13 @@ class Simulation:
         )
         return self.attach_precond_cache()
 
-    def _update_contact_candidates(self):
+    def _update_contact_candidates(self, min_motion: float = 0.0) -> float:
         """Host broadphase once per step (reference rebuilds candidates every
         Newton iteration with margin 1.1*dhat, mixed_collision.cpp:116-118;
-        here the margin additionally covers the expected step motion)."""
+        here the margin additionally covers the expected step motion).
+        Returns the per-vertex motion budget the margin covers — if the step
+        moves any vertex further, Simulation.step retries with a wider
+        margin."""
         import jax.numpy as jnp
 
         from mixedfem_tpu.collision import broadphase as bp
@@ -108,6 +142,9 @@ class Simulation:
         motion = (
             np.linalg.norm(v, axis=1).max() * self.config.h if len(v) else 0.0
         )
+        # always budget at least one dhat of unpredicted motion (covers
+        # acceleration from rest, e.g. gravity onset)
+        motion = max(motion, min_motion, self.config.dhat)
         margin = 1.1 * self.config.dhat + 2.0 * motion
 
         F_srf = np.asarray(self.mesh.F_srf)
@@ -122,7 +159,7 @@ class Simulation:
         jdtype = jnp.dtype(self.config.dtype)
         if len(frames) == 0:
             self.state = self.state.replace(contact=empty_contact(jdtype, 0))
-            return
+            return motion
         # power-of-two capacity bucketing to bound recompiles
         cap = self.config.max_contact_frames or max(
             256, 1 << int(np.ceil(np.log2(len(frames))))
@@ -135,6 +172,7 @@ class Simulation:
                 fmask=jnp.asarray(m, jdtype),
             )
         )
+        return motion
 
     def run(self, n: Optional[int] = None):
         for _ in range(n if n is not None else self.config.timesteps):
@@ -210,10 +248,20 @@ def load_scene(
         show_data=args.get("print_stats", True),
         show_timing=args.get("print_timing", True),
     )
-    # linear_solver names: direct names map to the host oracle; iterative
-    # to PCG (the factory vocabulary, linear_solver_factory.cpp:24-226).
-    solver_name = args.get("linear_solver", "eigen-llt")
-    cfg_kwargs["solver"] = "pcg"
+    # linear_solver vocabulary (linear_solver_factory.cpp:24-226) resolved
+    # via solvers/factory.py: direct names -> the exact host sparse solve
+    # (optimizer/newton_direct.py), minres-indefinite-* -> the matrix-free
+    # KKT path, subspace-* -> the dual Schur CG, eigen-pcg-* -> condensed
+    # PCG with the matching preconditioner. Scenes that omit the key get the
+    # TPU production default (condensed PCG + two-level preconditioner); use
+    # solver="direct" explicitly (or the reference's default "eigen-llt") to
+    # force the host oracle.
+    from mixedfem_tpu.solvers.factory import resolve_solver
+
+    solver_name = args.get("linear_solver")
+    cfg_kwargs["solver"] = (
+        resolve_solver(solver_name) if solver_name is not None else "pcg"
+    )
     if dtype is not None:
         cfg_kwargs["dtype"] = dtype
     config = SimConfig(**cfg_kwargs)
@@ -377,7 +425,7 @@ def load_scene(
     # Two-level preconditioner for anything beyond toy size (it only
     # changes CG iteration counts, not solutions).
     coarse = None
-    if len(T) >= 2000:
+    if len(T) >= 2000 and config.solver == "pcg":
         from mixedfem_tpu.solvers.coarse import build_coarse_space
 
         coarse = build_coarse_space(

@@ -24,6 +24,7 @@ def assemble_condensed(
     mesh: MeshData,
     ms_coeffs: Optional[StretchCoeffs] = None,
     contact=None,  # (frames (C,4), Gx (C,4,d), H (C,), active (C,))
+    v_coeffs=None,  # vanilla stretch VanillaCoeffs (h^2 vol psi'' in F-space)
 ) -> sp.csr_matrix:
     """Assemble P (M + K) P^T as scipy CSR over ALL dofs (pinned rows/cols
     are identity to keep the size fixed)."""
@@ -41,6 +42,11 @@ def assemble_condensed(
         H = np.asarray(ms_coeffs.H)
         vols = np.asarray(mesh.vols)
         Kkl = Kkl + np.einsum("eikr,eij,ejls,e->eklrs", G, H, G, vols)
+    if v_coeffs is not None:
+        # J^T psi''(F) J with dF_rc/dx_ks = delta_{rs} dphidX[k, c]
+        dphi = np.asarray(mesh.dphidX)
+        Hm = np.asarray(v_coeffs.H).reshape(E, d, d, d, d)
+        Kkl = Kkl + np.einsum("ekc,ercsf,elf->eklrs", dphi, Hm, dphi)
 
     rows = (T[:, :, None, None, None] * d + np.arange(d)[None, None, None, :, None])
     rows = np.broadcast_to(rows, (E, k, k, d, d))

@@ -1,0 +1,78 @@
+"""Linear-solver factory: the reference's scene vocabulary -> solve paths.
+
+Reference: src/factories/linear_solver_factory.cpp:24-226 registers 13 live
+names; scenes choose among them via the "linear_solver" JSON key. Each name
+maps to one of this framework's solve paths:
+
+  internal name      path
+  ---------------    ----------------------------------------------------
+  pcg                condensed SPD matrix-free PCG; two-level rigid-body
+                     coarse preconditioner when available, else block-Jacobi
+                     (solvers/pcg.py + solvers/coarse.py)
+  pcg-block-jacobi   condensed PCG, per-vertex (d,d) block-Jacobi only
+  pcg-diag           condensed PCG, scalar diagonal (Jacobi) preconditioner
+  direct             host sparse factorization of the condensed system
+                     (optimizer/newton_direct.py; scipy f64 — sparse
+                     Cholesky does not map to TPU, so direct solves run on
+                     host exactly like the reference's CPU path)
+  minres-kkt         full indefinite KKT system, matrix-free MINRES
+                     (solvers/minres.py)
+  dual-cg            Schur complement onto the multipliers, CG
+                     (solvers/dual.py)
+
+Reference-name mapping (fidelity notes inline):
+"""
+
+from __future__ import annotations
+
+INTERNAL_SOLVERS = (
+    "pcg",
+    "pcg-block-jacobi",
+    "pcg-diag",
+    "direct",
+    "minres-kkt",
+    "dual-cg",
+)
+
+# linear_solver_factory.cpp:24-226. Names the reference registers but whose
+# exact algorithm has no TPU analog are routed to the nearest path:
+#  - eigen-pcg-IC: incomplete Cholesky is inherently sequential; block-Jacobi
+#    is the structured-preconditioner equivalent here.
+#  - eigen-pcg-laplacian / eigen-pcg-dualascent: both exist to cheapen stiff
+#    solves; the two-level rigid-body coarse space plays that role ("pcg").
+#  - admm-solver: alternating x/s solves with penalty rho; served by the
+#    condensed PCG (same fixed point, strictly faster convergence).
+#  - subspace-amgcl / subspace-gauss_seidel: AMG/GS on the dual system; the
+#    dual Schur-CG path ("dual-cg") is the matrix-free equivalent.
+REFERENCE_SOLVER_MAP = {
+    "eigen-llt": "direct",
+    "eigen-ldlt": "direct",
+    "eigen-lu": "direct",
+    "cholmod": "direct",
+    "eigen-pcg-diag": "pcg-diag",
+    "eigen-pcg-IC": "pcg-block-jacobi",
+    "eigen-pcg-laplacian": "pcg",
+    "eigen-pcg-dualascent": "pcg",
+    "eigen-pcg-block_jacobi": "pcg-block-jacobi",
+    "admm-solver": "pcg",
+    "minres-indefinite-block": "minres-kkt",
+    "minres-indefinite-admm": "minres-kkt",
+    "subspace-CG": "dual-cg",
+    "subspace-amgcl": "dual-cg",
+    "subspace-gauss_seidel": "dual-cg",
+    # affine-pcg appears in one scene but its registration is commented out
+    # in the reference (linear_solver_factory.cpp:101-105) — route to pcg.
+    "affine-pcg": "pcg",
+}
+
+
+def resolve_solver(name: str) -> str:
+    """Reference or internal solver name -> internal solve-path name."""
+    if name in INTERNAL_SOLVERS:
+        return name
+    if name in REFERENCE_SOLVER_MAP:
+        return REFERENCE_SOLVER_MAP[name]
+    raise ValueError(
+        f"unknown linear_solver '{name}'; known: "
+        f"{sorted(REFERENCE_SOLVER_MAP) + list(INTERNAL_SOLVERS)}"
+    )

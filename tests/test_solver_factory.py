@@ -1,0 +1,182 @@
+"""Solver-factory wiring tests: every reference linear_solver name steps a
+scene and the trajectories agree (reference vocabulary:
+src/factories/linear_solver_factory.cpp:24-226)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mixedfem_tpu.config import SimConfig
+from mixedfem_tpu.optimizer import newton
+from mixedfem_tpu.optimizer.newton_direct import newton_step_direct
+from mixedfem_tpu.solvers.factory import (
+    INTERNAL_SOLVERS,
+    REFERENCE_SOLVER_MAP,
+    resolve_solver,
+)
+
+from tests.test_newton import make_state, small_beam
+
+ALL_REFERENCE_NAMES = sorted(REFERENCE_SOLVER_MAP)
+
+
+def _step_n(mesh, solver, n=2, outer=4):
+    config = SimConfig(
+        h=0.02,
+        outer_steps=outer,
+        itr_tol=1e-11,
+        max_iterative_solver_iters=20000,
+        solver=solver,
+        dtype="float64",
+        mixed_variables=("mixed-stretch",),
+    )
+    state = make_state(mesh, config)
+    for _ in range(n):
+        if resolve_solver(solver) == "direct":
+            state = newton_step_direct(mesh, config, (), state)
+        else:
+            state = newton.newton_step(mesh, config, (), state)
+    return state
+
+
+class TestResolution:
+    def test_all_reference_names_resolve(self):
+        for name in ALL_REFERENCE_NAMES:
+            assert resolve_solver(name) in INTERNAL_SOLVERS
+
+    def test_internal_names_pass_through(self):
+        for name in INTERNAL_SOLVERS:
+            assert resolve_solver(name) == name
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError):
+            resolve_solver("not-a-solver")
+
+
+class TestTrajectories:
+    """One representative per solve path vs the exact direct trajectory."""
+
+    @pytest.fixture(scope="class")
+    def beam(self):
+        mesh, V = small_beam(3, 2, 2)
+        ref = _step_n(mesh, "eigen-llt")
+        return mesh, np.asarray(ref.x)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "cholmod",               # -> direct (same exact path)
+            "eigen-pcg-diag",        # -> pcg-diag
+            "eigen-pcg-block_jacobi",  # -> pcg-block-jacobi
+            "eigen-pcg-laplacian",   # -> pcg
+            "minres-indefinite-block",  # -> minres-kkt
+        ],
+    )
+    def test_matches_direct(self, beam, name):
+        mesh, x_ref = beam
+        out = _step_n(mesh, name)
+        x = np.asarray(out.x)
+        assert np.isfinite(x).all()
+        scale = np.abs(x_ref).max()
+        np.testing.assert_allclose(x, x_ref, atol=1e-6 * scale)
+
+    def test_dual_cg_converges_to_same_point(self, beam):
+        """subspace-CG uses the lumped-mass Schur complement — inexact
+        Newton directions, same fixed point. More Newton iterations, looser
+        per-step tolerance."""
+        mesh, x_ref = beam
+        out = _step_n(mesh, "subspace-CG", outer=12)
+        x = np.asarray(out.x)
+        assert np.isfinite(x).all()
+        scale = np.abs(x_ref).max()
+        np.testing.assert_allclose(x, x_ref, atol=2e-3 * scale)
+
+    def test_kkt_rejects_contact(self):
+        mesh, V = small_beam(2, 1, 1)
+        config = SimConfig(
+            solver="minres-indefinite-block",
+            dtype="float64",
+            mixed_variables=("mixed-stretch", "mixed-collision"),
+        )
+        state = make_state(mesh, config)
+        state = state.replace(contact=newton.empty_contact(jnp.float64, 8))
+        with pytest.raises(NotImplementedError):
+            newton.newton_step(mesh, config, (), state)
+
+
+class TestDirectWithContact:
+    def test_direct_contact_drop_matches_pcg(self):
+        """A box dropping onto a pinned floor: the cholmod path and the pcg
+        path agree with contact frames active."""
+        from mixedfem_tpu.mesh import generators, mesh as meshmod
+        from mixedfem_tpu.config import enu_to_lame
+        from mixedfem_tpu.collision import broadphase as bp
+        from mixedfem_tpu.variables.mixed_collision import ContactFrames
+
+        # floor: pinned thin slab; box above it, falling
+        Vf, Tf = generators.box_tet_mesh(3, 3, 1, size=(2.0, 2.0, 0.1))
+        Vb, Tb = generators.box_tet_mesh(2, 2, 2, size=(0.4, 0.4, 0.4))
+        Vb = Vb + np.array([0.8, 0.8, 0.12])
+        V = np.concatenate([Vf, Vb])
+        T = np.concatenate([Tf, Tb + len(Vf)])
+        la, mu = enu_to_lame(1e5, 0.45)
+        is_fixed = np.zeros(len(V), bool)
+        is_fixed[: len(Vf)] = True
+        ext = np.tile(np.array([0.0, 0.0, -9.8]), (len(V), 1))
+        mesh = meshmod.build_mesh_data(
+            V, T,
+            density=np.full(len(T), 1000.0),
+            mu=np.full(len(T), mu),
+            lam=np.full(len(T), la),
+            model_id=np.zeros(len(T), int),
+            models=("Stable-Neohookean",),
+            is_fixed=is_fixed,
+            ext_force=ext,
+        )
+
+        def make(solver):
+            return SimConfig(
+                h=0.01, outer_steps=4, itr_tol=1e-11,
+                max_iterative_solver_iters=20000, solver=solver,
+                dtype="float64", dhat=0.05, kappa=100.0,
+            )
+
+        def contact_frames(x):
+            F_srf = np.asarray(mesh.F_srf)
+            E_srf = np.asarray(mesh.E_srf)
+            surf = np.unique(F_srf.reshape(-1))
+            frames, types = bp.candidates_3d(
+                np.asarray(x), F_srf, E_srf, surf, 0.1
+            )
+            f, t, m = bp.pad_candidates(frames, types, 1 << int(
+                np.ceil(np.log2(max(len(frames), 2)))
+            ))
+            return ContactFrames(
+                frames=jnp.asarray(f), ftype=jnp.asarray(t),
+                fmask=jnp.asarray(m, jnp.float64),
+            )
+
+        results = {}
+        for solver in ("pcg-block-jacobi", "eigen-llt"):
+            config = make(solver)
+            state = make_state(mesh, config)
+            # give the box downward speed so contact activates quickly
+            v0 = np.zeros_like(V)
+            v0[len(Vf):, 2] = -1.0
+            state = newton.init_state(
+                mesh, config, (), jnp.asarray(V), jnp.asarray(v0)
+            )
+            for _ in range(3):
+                state = state.replace(contact=contact_frames(state.x))
+                if solver == "eigen-llt":
+                    state = newton_step_direct(mesh, config, (), state)
+                else:
+                    state = newton.newton_step(mesh, config, (), state)
+            results[solver] = np.asarray(state.x)
+            assert np.isfinite(results[solver]).all()
+
+        scale = np.abs(results["eigen-llt"]).max()
+        np.testing.assert_allclose(
+            results["pcg-block-jacobi"], results["eigen-llt"],
+            atol=5e-6 * scale,
+        )
