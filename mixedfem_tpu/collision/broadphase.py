@@ -7,9 +7,16 @@ arrays for the jitted step:
 
   frames:  (C, 4) int32 vertex ids (full-mesh indexing, -1 padded)
   types:   (C,)   int32 (distances.PT / EE / PE / PP)
-  keys:    (C, 5) int64 canonical identity (type + sorted primitive ids)
-           used to warm-start (d, lambda) across steps (the reference's
-           hash-set warm start, src/utils/mixed_ipc.cpp:255-268).
+
+(d, lambda) persistence across constraint-set changes — the reference's
+hash-set warm start, src/utils/mixed_ipc.cpp:255-268 — is handled
+differently here: the candidate set is FIXED within a step (slots carry
+their own d/lambda through the Newton iterations in-jit) and is cleared at
+step end exactly like MixedCollision::post_solve (mixed_collision.cpp:
+397-403). If the step's motion exceeds the margin the candidates were
+built with, io/scene.py re-runs the whole step from its saved pre-step
+state with a wider margin (see Simulation.step), so no remapping between
+old and new slots is ever needed.
 
 3D: point-triangle (surface vertex x face, excluding incident) and
 edge-edge (surface edge pairs, excluding sharing a vertex).
@@ -162,30 +169,6 @@ def candidates_2d(V: np.ndarray, E_srf: np.ndarray, surf_verts: np.ndarray, marg
         [vid[:, None], e, -np.ones((len(vid), 1), np.int64)], axis=1
     ).astype(np.int32)
     return frames, np.full(len(vid), PE, np.int32)
-
-
-def frame_keys(frames: np.ndarray, types: np.ndarray) -> np.ndarray:
-    """Canonical (C, 5) identity keys: [type, sorted primitive ids]."""
-    keys = np.empty((len(frames), 5), np.int64)
-    keys[:, 0] = types
-    f = frames.astype(np.int64)
-    out = f.copy()
-    # PT: vertex + sorted face; EE: sorted within each edge then lexicographic;
-    # PE: vertex + sorted edge
-    pt = types == PT
-    out[pt, 1:] = np.sort(f[pt, 1:], axis=1)
-    ee = types == EE
-    if ee.any():
-        a = np.sort(f[ee, 0:2], axis=1)
-        b = np.sort(f[ee, 2:4], axis=1)
-        swap = (a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))
-        lo = np.where(swap[:, None], b, a)
-        hi = np.where(swap[:, None], a, b)
-        out[ee] = np.concatenate([lo, hi], axis=1)
-    pe = types == PE
-    out[pe, 1:3] = np.sort(f[pe, 1:3], axis=1)
-    keys[:, 1:] = out
-    return keys
 
 
 def pad_candidates(frames, types, capacity: int):

@@ -1,1 +1,1 @@
-from mixedfem_tpu.ops import sym, rotation, psd, segsum
+from mixedfem_tpu.ops import sym, rotation, psd

@@ -126,12 +126,23 @@ class TestBroadphase:
         sv = np.unique(F.reshape(-1))
         frames, types = broadphase.candidates_3d(V, F, E, sv, margin=0.02)
         assert len(frames) > 0
-        # every candidate spans the two objects
-        obj = (frames >= len(V1)).astype(int)
-        for f, t in zip(frames, types):
-            ids = f if t != distances.PE else f[:3]
-        keys = broadphase.frame_keys(frames, types)
-        assert len(np.unique(keys, axis=0)) == len(keys)
+        # no duplicate candidates under canonical ordering
+        canon = frames.astype(np.int64).copy()
+        ee = types == distances.EE
+        a = np.sort(canon[ee, 0:2], axis=1)
+        b = np.sort(canon[ee, 2:4], axis=1)
+        swap = (a[:, 0] > b[:, 0]) | (
+            (a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1])
+        )
+        canon[ee] = np.where(
+            swap[:, None],
+            np.concatenate([b, a], axis=1),
+            np.concatenate([a, b], axis=1),
+        )
+        pt = types == distances.PT
+        canon[pt, 1:] = np.sort(canon[pt, 1:], axis=1)
+        combined = np.concatenate([types[:, None], canon], axis=1)
+        assert len(np.unique(combined, axis=0)) == len(combined)
 
 
 def drop_scene(dim=3, dhat=1e-2, kappa=1e5):
@@ -197,3 +208,87 @@ class TestDrop:
         assert drop_min > slab_top - 1e-4, (drop_min, slab_top)
         # and must have fallen (gravity acted)
         assert drop_min < float(np.asarray(mesh.V0)[n_slab:, 1].min())
+
+
+class TestCandidateStaleness:
+    """The per-step candidate set must not miss contacts when the step's
+    actual motion exceeds the velocity-predicted margin (the reference
+    avoids this by rebuilding candidates every Newton iteration,
+    mixed_collision.cpp:116-118; here Simulation.step detects the motion
+    overshoot and re-runs the step with a wider margin)."""
+
+    def _fast_drop(self):
+        # FINE surface elements: the broadphase admission bound is
+        # margin + primitive radius, so only small primitives can actually
+        # be missed by a too-small margin. A gap of 0.14 clears the
+        # admission bound (max top-surface EE radius sum ~0.08 + 0.031
+        # margin) so the single-build candidate set genuinely has NO
+        # crossing pairs. CCD is ON: with candidates present ACCD clamps
+        # the 0.4-deep free-fall step; with stale candidates ACCD has
+        # nothing to clamp against and the box tunnels through the slab —
+        # exactly the miss the reference avoids by rebuilding candidates
+        # inside the step (mixed_collision.cpp:116-118).
+        V1, T1 = generators.box_tet_mesh(12, 2, 12, size=(1.0, 0.25, 1.0))
+        V2, T2 = generators.box_tet_mesh(6, 6, 6, size=(0.4, 0.4, 0.4))
+        V2 = V2 + np.array([0.3, 0.40, 0.3])  # gap 0.15 = 15*dhat
+        V = np.concatenate([V1, V2])
+        T = np.concatenate([T1, T2 + len(V1)])
+        la, mu = enu_to_lame(1e6, 0.40)
+        is_fixed = np.zeros(len(V), bool)
+        is_fixed[: len(V1)] = True
+        ext = np.zeros_like(V)
+        ext[:, 1] = -40.0  # strong gravity: falls ~h^2*g = 0.4 in step 1
+        mesh = meshmod.build_mesh_data(
+            V, T,
+            density=np.full(len(T), 1000.0),
+            mu=np.full(len(T), mu),
+            lam=np.full(len(T), la),
+            model_id=np.zeros(len(T), int),
+            models=("Stable-Neohookean",),
+            is_fixed=is_fixed,
+            ext_force=ext,
+        )
+        config = SimConfig(
+            h=0.1,
+            outer_steps=8,
+            itr_tol=1e-8,
+            dhat=1e-2,
+            kappa=1e5,
+            enable_ccd=True,  # ACCD can only clamp against known candidates
+            mixed_variables=("mixed-stretch", "mixed-collision"),
+            dtype="float64",
+        )
+        return mesh, config, len(V1)
+
+    def test_stale_candidates_miss_retry_catches(self):
+        from mixedfem_tpu.io.scene import Simulation
+
+        mesh, config, n_slab = self._fast_drop()
+        slab_top = float(np.asarray(mesh.V0)[:n_slab, 1].max())
+        x0 = jnp.asarray(mesh.V0)
+
+        # (a) the old single-build path: candidates once, no retry -> the
+        # box free-falls through the margin and penetrates the slab.
+        state = newton.init_state(mesh, config, (), x0, jnp.zeros_like(x0))
+        sim = Simulation(
+            mesh=mesh, config=config, bc_specs=(), state=state,
+            dim=3, obj_slices=[],
+        )
+        sim._update_contact_candidates()
+        sim.state = sim._one_step()
+        bottom_stale = float(np.asarray(sim.state.x)[n_slab:, 1].min())
+        assert bottom_stale < slab_top - 1e-3, (
+            "fixture not sharp: single-build candidates did not miss"
+        )
+
+        # (b) the production path with the motion-overshoot retry.
+        state = newton.init_state(mesh, config, (), x0, jnp.zeros_like(x0))
+        sim = Simulation(
+            mesh=mesh, config=config, bc_specs=(), state=state,
+            dim=3, obj_slices=[],
+        )
+        for _ in range(2):
+            sim.step()
+        bottom = float(np.asarray(sim.state.x)[n_slab:, 1].min())
+        assert np.isfinite(np.asarray(sim.state.x)).all()
+        assert bottom > slab_top - 1e-4, (bottom, slab_top)
