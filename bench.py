@@ -138,6 +138,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stages", action="store_true",
                     help="also print the per-stage breakdown (slower)")
+    ap.add_argument("--cpu-100k", action="store_true",
+                    help="measure the JAX-CPU baseline at 100k tets "
+                         "(~5 min; the honest north-star denominator)")
     cli = ap.parse_args()
 
     import jax
@@ -187,6 +190,29 @@ def main():
     )
     ms_10k, _, _, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs10)
     extras["ms_per_step_10k_tets"] = round(ms_10k, 3)
+
+    # Honest north-star denominator: CPU at the SAME 100k size. Slow
+    # (~90 s/step on this 1-vCPU container), so measured on demand; the
+    # last measured value is recorded in BASELINE.md (87,000 ms/step,
+    # 2026-08-17, single vCPU).
+    if cli.cpu_100k:
+        try:
+            mesh_c, config_c, state_c, _ = build(
+                40, 25, 20, "float32", backend_device=cpu
+            )
+            cs_c = jax.device_put(cs, cpu)
+            state_c = state_c.replace(
+                precond=jax.device_put(
+                    jnp.zeros((cs.ncd, cs.ncd), jnp.float32), cpu
+                )
+            )
+            ms_cpu_100k, _, _, _ = time_steps(
+                mesh_c, config_c, state_c, n_steps=2, coarse=cs_c
+            )
+            extras["ms_per_step_100k_tets_cpu"] = round(ms_cpu_100k, 1)
+            extras["vs_cpu_100k"] = round(ms_cpu_100k / ms_100k, 2)
+        except Exception as e:
+            extras["cpu_100k_error"] = str(e)[:200]
 
     vs_baseline = None
     try:

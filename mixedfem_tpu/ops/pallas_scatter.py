@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 class ScatterPlan(NamedTuple):
     perm: jnp.ndarray        # (Rp,) int32 source row for each sorted slot
     lidx: jnp.ndarray        # (Rp,) int32 local window index per sorted slot
-    win_start: jnp.ndarray   # (nchunks,) int32 window start vertex
+    win_start: jnp.ndarray   # (nchunks,) int32 window start, in 128-lane units
     nrows: int               # original (unpadded) row count
     chunk: int               # rows per chunk
     W: int                   # window size (max distinct vertices per chunk + pad)
@@ -45,7 +45,13 @@ class ScatterPlan(NamedTuple):
 def build_scatter_plan(
     seg_ids: np.ndarray, nv: int, chunk: int = 2048, lane: int = 128
 ) -> ScatterPlan:
-    """seg_ids: (R,) destination vertex per contribution row (static)."""
+    """seg_ids: (R,) destination vertex per contribution row (static).
+
+    Window starts are LANE-ALIGNED (multiples of 128): the kernel's output
+    lives transposed as (d, nv_pad) with vertices on the lane axis — the
+    natural (nv, d) layout would pad d=3 up to 128 lanes in VMEM (42x) and
+    blow the scoped-vmem budget — and dynamic slicing on the lane axis
+    requires aligned starts."""
     seg_ids = np.asarray(seg_ids, np.int64)
     R = len(seg_ids)
     order = np.argsort(seg_ids, kind="stable").astype(np.int32)
@@ -60,28 +66,30 @@ def build_scatter_plan(
     # padded slots read the extra zero row appended to the value array
     perm_p = np.concatenate([order, np.full(pad, R, np.int32)])
     win_start = np.empty(nchunks, np.int32)
-    lidx = np.empty(Rp, np.int32)
     W = 0
     for c in range(nchunks):
         lo = c * chunk
         ids = sorted_ids_p[lo : lo + chunk]
-        v0 = ids[0]
+        v0 = (int(ids[0]) // lane) * lane   # lane-aligned window start
         win_start[c] = v0
-        lidx[lo : lo + chunk] = ids - v0
         W = max(W, int(ids[-1] - v0) + 1)
     W = ((W + lane - 1) // lane) * lane
-    # clamp window starts so windows stay in-bounds
-    win_start = np.minimum(win_start, max(nv - W, 0)).astype(np.int32)
+    nv_pad = ((max(nv, W) + lane - 1) // lane) * lane
+    # clamp window starts so windows stay in-bounds (stays lane-aligned:
+    # both nv_pad and W are lane multiples)
+    win_start = np.minimum(win_start, nv_pad - W).astype(np.int32)
+    lidx = np.empty(Rp, np.int32)
     for c in range(nchunks):
         lo = c * chunk
         lidx[lo : lo + chunk] = (
             sorted_ids_p[lo : lo + chunk] - win_start[c]
         ).astype(np.int32)
     assert lidx.min() >= 0 and lidx.max() < W
+    assert (win_start % lane == 0).all()
     return ScatterPlan(
         perm=jnp.asarray(perm_p),
         lidx=jnp.asarray(lidx),
-        win_start=jnp.asarray(win_start),
+        win_start=jnp.asarray(win_start // lane),  # in LANE UNITS
         nrows=R,
         chunk=chunk,
         W=W,
@@ -89,7 +97,7 @@ def build_scatter_plan(
     )
 
 
-def _make_kernel(W: int, nv: int, chunk: int, d: int):
+def _make_kernel(W: int, nv_pad: int, chunk: int, d: int):
     def kernel(ws_ref, vals_ref, lidx_ref, out_ref):
         c = pl.program_id(0)
 
@@ -97,7 +105,7 @@ def _make_kernel(W: int, nv: int, chunk: int, d: int):
         def _():
             out_ref[:, :] = jnp.zeros_like(out_ref)
 
-        # one-hot reduce on the VPU: sums[w, j] = sum_b [lidx[b] == w] vals[b, j]
+        # one-hot reduce on the VPU: sums[j, w] = sum_b [lidx[b] == w] vals[b, j]
         # (W on the lane axis; MXU would run bf16 passes and lose precision)
         lidx = lidx_ref[:, 0]  # (chunk,)
         vals = vals_ref[:, :]  # (chunk, d)
@@ -106,18 +114,20 @@ def _make_kernel(W: int, nv: int, chunk: int, d: int):
         sums_t = [
             jnp.sum(oh * vals[:, j][:, None], axis=0) for j in range(d)
         ]  # d x (W,)
-        sums = jnp.stack(sums_t, axis=-1)  # (W, d)
-        v0 = ws_ref[c]
-        cur = out_ref[pl.ds(v0, W), :]
-        out_ref[pl.ds(v0, W), :] = cur + sums
+        sums = jnp.stack(sums_t, axis=0)  # (d, W)
+        # win_start is stored in LANE UNITS; multiplying by 128 here lets
+        # Mosaic statically prove the lane-axis slice is 128-aligned
+        v0 = ws_ref[c] * 128
+        cur = out_ref[:, pl.ds(v0, W)]
+        out_ref[:, pl.ds(v0, W)] = cur + sums
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("plan_static",))
 def _scatter_call(vals_sorted, lidx2d, win_start, plan_static):
-    chunk, W, nv, d, nchunks = plan_static
-    kernel = _make_kernel(W, nv, chunk, d)
+    chunk, W, nv_pad, d, nchunks = plan_static
+    kernel = _make_kernel(W, nv_pad, chunk, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
@@ -125,13 +135,16 @@ def _scatter_call(vals_sorted, lidx2d, win_start, plan_static):
             pl.BlockSpec((chunk, d), lambda c, ws: (c, 0)),
             pl.BlockSpec((chunk, 1), lambda c, ws: (c, 0)),
         ],
-        out_specs=pl.BlockSpec((nv, d), lambda c, ws: (0, 0)),
+        out_specs=pl.BlockSpec((d, nv_pad), lambda c, ws: (0, 0)),
     )
-    return pl.pallas_call(
+    # output transposed (d, nv_pad): vertices on the 128-lane axis — the
+    # (nv, d) layout would lane-pad d=3 to 128 in VMEM (42x memory)
+    out_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nv, d), vals_sorted.dtype),
+        out_shape=jax.ShapeDtypeStruct((d, nv_pad), vals_sorted.dtype),
     )(win_start, vals_sorted, lidx2d)
+    return out_t.T
 
 
 def scatter_add(plan: ScatterPlan, vals: jnp.ndarray) -> jnp.ndarray:
@@ -146,11 +159,23 @@ def scatter_add(plan: ScatterPlan, vals: jnp.ndarray) -> jnp.ndarray:
         vs = vals_pad[plan.perm]
     else:
         vs = vals[plan.perm]
+    return scatter_add_sorted(plan, vs)
+
+
+def scatter_add_sorted(plan, vals_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Windowed segment-sum of ALREADY-SORTED rows (Rp, d) -> (nv, d).
+
+    The fast path for producers that emit contributions directly in
+    destination-sorted order (solvers/operator.py planned matvec) — skips
+    the permutation gather entirely. `plan` needs lidx/win_start/chunk/W/nv
+    (ScatterPlan or the MatvecPlan wrapper)."""
+    Rp, d = vals_sorted.shape
     nchunks = Rp // plan.chunk
+    nv_pad = ((max(plan.nv, plan.W) + 127) // 128) * 128
     out = _scatter_call(
-        vs,
+        vals_sorted,
         plan.lidx[:, None],
         plan.win_start,
-        (plan.chunk, plan.W, plan.nv, d, nchunks),
+        (plan.chunk, plan.W, nv_pad, d, nchunks),
     )
-    return out
+    return out[: plan.nv] if nv_pad > plan.nv else out

@@ -10,10 +10,17 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mixedfem_tpu.ops import smallops
 from mixedfem_tpu.ops.rotation import jacobi_eigh
 
 
-def psd_fix(H: jnp.ndarray, tol: float = 1e-8, sweeps: int = 8):
+def _default_sweeps(dtype) -> int:
+    """5 sweeps reach ~1e-6 relative on 6x6 blocks — enough for f32; f64
+    oracle parity needs 8 (quadratic Jacobi convergence)."""
+    return 8 if dtype == jnp.float64 else 5
+
+
+def psd_fix(H: jnp.ndarray, tol: float = 1e-8, sweeps: int | None = None):
     """Project (..., n, n) symmetric blocks to PSD by eigenvalue clamping.
 
     Returns (H_fixed, H_inv, max_eval):
@@ -23,21 +30,28 @@ def psd_fix(H: jnp.ndarray, tol: float = 1e-8, sweeps: int = 8):
                  per-element "stress", src/variables/mixed_stretch.cpp:200).
     """
     H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
-    w, V = jacobi_eigh(H, sweeps=sweeps)
+    w, V = jacobi_eigh(H, sweeps=sweeps or _default_sweeps(H.dtype))
     w = jnp.maximum(w, jnp.asarray(tol, H.dtype))
-    Hf = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
-    Hi = jnp.einsum("...ik,...k,...jk->...ij", V, 1.0 / w, V)
+    n = H.shape[-1]
+    Vf = V.reshape(-1, n, n)
+    wf = w.reshape(-1, n)
+    Hf = smallops.sym_reconstruct(Vf, wf).reshape(H.shape)
+    Hi = smallops.sym_reconstruct(Vf, 1.0 / wf).reshape(H.shape)
     return Hf, Hi, jnp.max(w, axis=-1)
 
 
-def psd_fix_sqrt(H: jnp.ndarray, tol: float = 1e-8, sweeps: int = 8):
+def psd_fix_sqrt(H: jnp.ndarray, tol: float = 1e-8, sweeps: int | None = None):
     """Like psd_fix but also returns the symmetric square root H^{1/2}
     (used to factor the condensed element stiffness A_e = W^T W with
     W = sqrt(vol) H^{1/2} G — halves the per-CG-iteration operand reads)."""
     H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
-    w, V = jacobi_eigh(H, sweeps=sweeps)
+    w, V = jacobi_eigh(H, sweeps=sweeps or _default_sweeps(H.dtype))
     w = jnp.maximum(w, jnp.asarray(tol, H.dtype))
-    Hf = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
-    Hi = jnp.einsum("...ik,...k,...jk->...ij", V, 1.0 / w, V)
-    Hs = jnp.einsum("...ik,...k,...jk->...ij", V, jnp.sqrt(w), V)
+    batch = H.shape[:-2]
+    n = H.shape[-1]
+    Vf = V.reshape(-1, n, n)
+    wf = w.reshape(-1, n)
+    Hf = smallops.sym_reconstruct(Vf, wf).reshape(H.shape)
+    Hi = smallops.sym_reconstruct(Vf, 1.0 / wf).reshape(H.shape)
+    Hs = smallops.sym_reconstruct(Vf, jnp.sqrt(wf)).reshape(H.shape)
     return Hf, Hi, Hs, jnp.max(w, axis=-1)

@@ -24,25 +24,8 @@ All functions operate on batched arrays with leading batch dims.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
-
-def _eps3_np():
-    import numpy as np
-
-    e = np.zeros((3, 3, 3))
-    e[0, 1, 2] = e[1, 2, 0] = e[2, 0, 1] = 1.0
-    e[0, 2, 1] = e[2, 1, 0] = e[1, 0, 2] = -1.0
-    return e
-
-
-_EPS3_NP = _eps3_np()
-
-
-def _eps3(dtype_name: str):
-    # Fresh constant per call site — caching jnp arrays across jit traces
-    # leaks tracers/devices.
-    return jnp.asarray(_EPS3_NP, dtype=dtype_name)
-
 
 # ---------------------------------------------------------------------------
 # Jacobi eigendecomposition (batched, fixed sweep count, branch-free)
@@ -51,51 +34,96 @@ def _eps3(dtype_name: str):
 def jacobi_eigh(A: jnp.ndarray, sweeps: int = 8):
     """Symmetric eigendecomposition of (..., n, n) via cyclic Jacobi.
 
-    Fixed sweep count, exact Givens angles via atan2; fully batched with
-    static row/col updates (no data-dependent control flow). Returns
-    (w, V) with A approx V @ diag(w) @ V^T. Eigenvalues are NOT sorted.
+    Fixed sweep count, fully batched, branch-free. Returns (w, V) with
+    A approx V @ diag(w) @ V^T. Eigenvalues are NOT sorted.
 
-    TPU note: internally the batch axis is moved LAST so that every Givens
-    row/column update is a (n, B)/(B,) vector op with the large batch on the
-    128-lane axis — batch-first layout puts the tiny n x n matrix on the
-    lane/sublane tiles and wastes ~20x VPU throughput.
+    TPU notes:
+    - The n x n symmetric matrix is held as n(n+1)/2 SEPARATE (B,) arrays
+      ("scalar registers" over the batch), so every Givens rotation is a
+      handful of fused elementwise VPU ops on batch-major vectors — no
+      .at[] row/column updates (each of which would copy the whole (n,n,B)
+      buffer) and the batch stays on the 128-lane axis throughout.
+    - Rotation angles use the algebraic Givens form
+        tau = (aqq - app) / (2 apq),  t = sign(tau) / (|tau| + sqrt(1+tau^2))
+        c = 1/sqrt(1+t^2),  s = t c
+      (sqrt + divides only — no atan2/sin/cos transcendentals; ~3x cheaper
+      on the VPU and exactly zeroes the pivot each rotation).
     """
     n = A.shape[-1]
     batch_shape = A.shape[:-2]
+    dt = A.dtype
     B = 1
     for sdim in batch_shape:
         B *= sdim
-    Ab = jnp.moveaxis(A.reshape(B, n, n), 0, -1)  # (n, n, B)
-    Vb = jnp.tile(jnp.eye(n, dtype=A.dtype)[:, :, None], (1, 1, B))
-    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
+    Af = A.reshape(B, n, n)
 
-    for _ in range(sweeps):
-        for (p, q) in pairs:
-            app = Ab[p, p]
-            aqq = Ab[q, q]
-            apq = Ab[p, q]
-            theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
-            cp = jnp.cos(theta)
-            sp = jnp.sin(theta)
+    m = n * (n + 1) // 2
+    tri = [(i, j) for i in range(n) for j in range(i, n)]
+    tri_idx = {ij: k for k, ij in enumerate(tri)}
 
-            # A <- G^T A G with G the (p,q)-plane rotation by theta.
-            colp = Ab[:, p]
-            colq = Ab[:, q]
-            Ab = Ab.at[:, p].set(cp * colp + sp * colq)
-            Ab = Ab.at[:, q].set(-sp * colp + cp * colq)
-            rowp = Ab[p, :]
-            rowq = Ab[q, :]
-            Ab = Ab.at[p, :].set(cp * rowp + sp * rowq)
-            Ab = Ab.at[q, :].set(-sp * rowp + cp * rowq)
+    def idx(i, j):
+        return tri_idx[(i, j) if i <= j else (j, i)]
 
-            vp = Vb[:, p]
-            vq = Vb[:, q]
-            Vb = Vb.at[:, p].set(cp * vp + sp * vq)
-            Vb = Vb.at[:, q].set(-sp * vp + cp * vq)
+    a0 = jnp.stack([Af[:, i, j] for (i, j) in tri], axis=0)        # (m, B)
+    # identity eigenvector init, derived from the input so its shard_map
+    # "varying" type matches a0 (a constant V0 breaks the scan-carry VMA
+    # type check inside shard_map bodies)
+    V0 = jnp.eye(n, dtype=dt).reshape(n * n, 1) * jnp.ones_like(a0[:1])
 
-    w = jnp.stack([Ab[i, i] for i in range(n)], axis=-1)  # (B, n)
-    V = jnp.moveaxis(Vb, -1, 0)  # (B, n, n)
-    return w.reshape(*batch_shape, n), V.reshape(*batch_shape, n, n)
+    # RELATIVE pivot threshold: skipping |apq| below eps_rel * scale bounds
+    # tau <= 1/(2 eps_rel), keeping tau^2 finite — crucial for autodiff
+    # (an overflowing sqrt(1+tau^2) has NaN gradient even when the forward
+    # value is discarded by the jnp.where) — and leaves only an O(eps_rel)
+    # off-diagonal residual, within the sweep-count accuracy anyway.
+    eps_rel = jnp.asarray(1e-14 if dt == jnp.float64 else 1e-7, dt)
+    tiny = jnp.asarray(1e-300 if dt == jnp.float64 else 1e-30, dt)
+    zero = jnp.zeros((B,), dt)
+    one = jnp.ones((B,), dt)
+
+    def sweep(carry, _):
+        a_arr, V_arr = carry
+        # unpack to "scalar registers" over the batch — every rotation below
+        # is a handful of fused elementwise VPU ops on (B,) vectors, and the
+        # whole sweep is one scan body (keeps the XLA graph small).
+        a = [a_arr[k] for k in range(m)]
+        V = [V_arr[k] for k in range(n * n)]
+        for p in range(n):
+            for q in range(p + 1, n):
+                app, aqq, apq = a[idx(p, p)], a[idx(q, q)], a[idx(p, q)]
+                small = jnp.abs(apq) <= (
+                    eps_rel * (jnp.abs(app) + jnp.abs(aqq)) + tiny
+                )
+                apq_safe = jnp.where(small, one, apq)
+                tau = (aqq - app) / (2.0 * apq_safe)
+                root = jnp.sqrt(1.0 + tau * tau)
+                sgn = jnp.where(tau >= 0, 1.0, -1.0)
+                t = sgn / (jnp.abs(tau) + root)
+                t = jnp.where(small, zero, t)
+                c = jax.lax.rsqrt(1.0 + t * t)
+                s = t * c
+
+                a[idx(p, p)] = app - t * apq
+                a[idx(q, q)] = aqq + t * apq
+                a[idx(p, q)] = zero
+                for k in range(n):
+                    if k == p or k == q:
+                        continue
+                    akp, akq = a[idx(k, p)], a[idx(k, q)]
+                    a[idx(k, p)] = c * akp - s * akq
+                    a[idx(k, q)] = s * akp + c * akq
+                for k in range(n):
+                    vkp, vkq = V[k * n + p], V[k * n + q]
+                    V[k * n + p] = c * vkp - s * vkq
+                    V[k * n + q] = s * vkp + c * vkq
+        return (jnp.stack(a, axis=0), jnp.stack(V, axis=0)), None
+
+    (a_out, V_out), _ = jax.lax.scan(
+        sweep, (a0, V0), None, length=sweeps
+    )
+
+    w = jnp.stack([a_out[idx(i, i)] for i in range(n)], axis=-1)   # (B, n)
+    Vm = jnp.moveaxis(V_out.reshape(n, n, B), -1, 0)               # (B, n, n)
+    return w.reshape(*batch_shape, n), Vm.reshape(*batch_shape, n, n)
 
 
 def _sort3_desc(w, V):
@@ -275,32 +303,65 @@ def dsdF33(R: jnp.ndarray, S: jnp.ndarray):
     """
     dt = R.dtype
     eps = jnp.asarray(1e-10 if dt == jnp.float64 else 1e-6, dt)
-    eps3 = _eps3(jnp.dtype(dt).name)
 
     trS = jnp.trace(S, axis1=-2, axis2=-1)
     G = trS[..., None, None] * jnp.eye(3, dtype=dt) - S
     Ginv = _sym_inv3(G, eps)
 
-    # T[..., r, c, k] = (e_c x R[r, :])_k = eps_{k c j} R[r, j]
-    T = jnp.einsum("kcj,...rj->...rck", eps3, R)
-    omega = jnp.einsum("...kl,...rcl->...rck", Ginv, T)
-    # skew(w)_{a b} = eps_{a i b} w_i  (skew(w) x = w cross x)
-    skew_omega = jnp.einsum("aib,...rci->...rcab", eps3, omega)
-    dS = (
-        R[..., :, None, :, None] * jnp.eye(3, dtype=dt)[None, :, None, :]
-        - jnp.einsum("...rcab,...bd->...rcad", skew_omega, S)
+    # Fully unrolled over the 9 (r, c) perturbation directions and the 6
+    # sym-vec outputs: every quantity below is a (...,) batch array, so the
+    # whole computation fuses into one elementwise VPU kernel with the
+    # element batch on the lanes (the einsum form materializes
+    # (..., 3,3,3,3) intermediates at ~5% lane utilization).
+    Rr = [[R[..., r, j] for j in range(3)] for r in range(3)]
+    g = [[Ginv[..., i, j] for j in range(3)] for i in range(3)]
+    s = [[S[..., i, j] for j in range(3)] for i in range(3)]
+
+    out_irc = [[[None] * 3 for _ in range(3)] for _ in range(6)]
+    for r in range(3):
+        v = Rr[r]
+        for c in range(3):
+            # t = e_c x R[r, :]
+            if c == 0:
+                t = (jnp.zeros_like(v[0]), -v[2], v[1])
+            elif c == 1:
+                t = (v[2], jnp.zeros_like(v[0]), -v[0])
+            else:
+                t = (-v[1], v[0], jnp.zeros_like(v[0]))
+            # omega = Ginv @ t
+            w0 = g[0][0] * t[0] + g[0][1] * t[1] + g[0][2] * t[2]
+            w1 = g[1][0] * t[0] + g[1][1] * t[1] + g[1][2] * t[2]
+            w2 = g[2][0] * t[0] + g[2][1] * t[1] + g[2][2] * t[2]
+            # dS[a][b] = R[r,a] delta_{b,c} - (omega x S[:, b])[a]
+            dS = [[None] * 3 for _ in range(3)]
+            for b in range(3):
+                sb0, sb1, sb2 = s[0][b], s[1][b], s[2][b]
+                cx0 = w1 * sb2 - w2 * sb1
+                cx1 = w2 * sb0 - w0 * sb2
+                cx2 = w0 * sb1 - w1 * sb0
+                dS[0][b] = -cx0
+                dS[1][b] = -cx1
+                dS[2][b] = -cx2
+            for a in range(3):
+                dS[a][c] = dS[a][c] + v[a]
+            out_irc[0][r][c] = dS[0][0]
+            out_irc[1][r][c] = dS[1][1]
+            out_irc[2][r][c] = dS[2][2]
+            out_irc[3][r][c] = 0.5 * (dS[0][1] + dS[1][0])
+            out_irc[4][r][c] = 0.5 * (dS[0][2] + dS[2][0])
+            out_irc[5][r][c] = 0.5 * (dS[1][2] + dS[2][1])
+
+    # (..., i, r, c)
+    return jnp.stack(
+        [
+            jnp.stack(
+                [jnp.stack(out_irc[i][r], axis=-1) for r in range(3)],
+                axis=-2,
+            )
+            for i in range(6)
+        ],
+        axis=-3,
     )
-    # dS[..., r, c, a, b]; pack (a, b) -> sym-vec index i.
-    d00 = dS[..., 0, 0]
-    d11 = dS[..., 1, 1]
-    d22 = dS[..., 2, 2]
-    d01 = 0.5 * (dS[..., 0, 1] + dS[..., 1, 0])
-    d02 = 0.5 * (dS[..., 0, 2] + dS[..., 2, 0])
-    d12 = 0.5 * (dS[..., 1, 2] + dS[..., 2, 1])
-    out = jnp.stack([d00, d11, d22, d01, d02, d12], axis=-3)
-    # current layout (..., i, r, c) — verify: dS has shape (..., r, c, a, b);
-    # d00 etc. have shape (..., r, c); stacking on axis=-3 gives (..., i, r, c).
-    return out
 
 
 def dsdF22(R: jnp.ndarray, S: jnp.ndarray):

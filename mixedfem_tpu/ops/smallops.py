@@ -1,0 +1,89 @@
+"""Unrolled per-element small-tensor contractions (lane-major form).
+
+The hot coefficient builds contract tiny (6x6 / 6x4x3) tensors per element.
+Expressed as jnp.einsum these lower to batched micro-matmuls whose minor
+axes occupy 3-6 of the 128 VPU lanes (~5% utilization) — measured ~80-120ms
+each at 100k elements on v5lite. Unrolling the small indices into explicit
+multiply-add chains over (E,) vectors keeps the element axis on the lanes
+and fuses into a single elementwise kernel (the same trick as the batched
+Jacobi in ops/rotation.py). The reference's analog is its 4-wide SIMD SVD
+batching (src/svd/svd3x3_sse.h); here the "SIMD width" is the whole element
+batch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def contract_D_dphi(D: jnp.ndarray, dphi: jnp.ndarray) -> jnp.ndarray:
+    """G[e,i,k,r] = sum_c D[e,i,r,c] * dphi[e,k,c].
+
+    D: (E, N, d, d) ds/dF, dphi: (E, k, d) -> (E, N, k, d).
+    Equivalent to einsum('eirc,ekc->eikr', D, dphi), unrolled.
+    """
+    E, N, d, _ = D.shape
+    k = dphi.shape[1]
+    dcols = [[dphi[:, kk, c] for c in range(d)] for kk in range(k)]
+    out = []
+    for i in range(N):
+        for kk in range(k):
+            for r in range(d):
+                acc = D[:, i, r, 0] * dcols[kk][0]
+                for c in range(1, d):
+                    acc = acc + D[:, i, r, c] * dcols[kk][c]
+                out.append(acc)
+    return jnp.stack(out, axis=1).reshape(E, N, k, d)
+
+
+def contract_sym_G(Hs: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
+    """Y[e,i,k,r] = sum_j Hs[e,i,j] * G[e,j,k,r].
+
+    Hs: (E, N, N), G: (E, N, k, d) -> (E, N, k, d).
+    Equivalent to einsum('eij,ejkr->eikr', Hs, G), unrolled.
+    """
+    E, N, k, d = G.shape
+    Gf = G.reshape(E, N, k * d)
+    cols = [[Gf[:, j, a] for a in range(k * d)] for j in range(N)]
+    h = [[Hs[:, i, j] for j in range(N)] for i in range(N)]
+    out = []
+    for i in range(N):
+        for a in range(k * d):
+            acc = h[i][0] * cols[0][a]
+            for j in range(1, N):
+                acc = acc + h[i][j] * cols[j][a]
+            out.append(acc)
+    return jnp.stack(out, axis=1).reshape(E, N, k, d)
+
+
+def sym_reconstruct(V: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """V diag(w) V^T for (E, n, n) eigenvectors and (E, n) eigenvalues,
+    unrolled over the symmetric output entries."""
+    E, n, _ = V.shape
+    vw = [[V[:, i, kk] * w[:, kk] for kk in range(n)] for i in range(n)]
+    v = [[V[:, j, kk] for kk in range(n)] for j in range(n)]
+    rows = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            acc = vw[i][0] * v[j][0]
+            for kk in range(1, n):
+                acc = acc + vw[i][kk] * v[j][kk]
+            rows[i][j] = acc
+            rows[j][i] = acc
+    return jnp.stack(
+        [jnp.stack(rows[i], axis=-1) for i in range(n)], axis=-2
+    )
+
+
+def matvec_sym(H: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y[e,i] = sum_j H[e,i,j] x[e,j] for small n, unrolled.
+    Equivalent to einsum('eij,ej->ei', H, x)."""
+    E, n, _ = H.shape
+    xs = [x[:, j] for j in range(n)]
+    out = []
+    for i in range(n):
+        acc = H[:, i, 0] * xs[0]
+        for j in range(1, n):
+            acc = acc + H[:, i, j] * xs[j]
+        out.append(acc)
+    return jnp.stack(out, axis=-1)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from mixedfem_tpu.materials import models as mat
 from mixedfem_tpu.mesh import mesh as meshmod
-from mixedfem_tpu.ops import psd, rotation, sym
+from mixedfem_tpu.ops import psd, rotation, smallops, sym
 
 
 @flax.struct.dataclass
@@ -54,6 +54,22 @@ def stretch_of_x(mesh: meshmod.MeshData, x: jnp.ndarray):
     return sym.pack(S), R
 
 
+def coeffs_from_FG(F, G, R, Sv, s, vols, mu, lam, model_id, models, dt):
+    """Coefficient build from precomputed (F, G): shared by the replicated
+    path (update) and the vertex-partitioned shard-local path
+    (parallel/vp_step.py)."""
+    h2 = dt * dt
+    Hraw = h2 * mat.hess_s_all(s, mu, lam, model_id, models)
+    H, Hinv, Hs, evals = psd.psd_fix_sqrt(Hraw, tol=1e-8)
+    g = h2 * mat.grad_s_all(s, mu, lam, model_id, models)
+    Gw = jnp.sqrt(vols)[:, None, None, None] * smallops.contract_sym_G(
+        Hs, G
+    )
+    return StretchCoeffs(
+        G=G, Gw=Gw, H=H, Hinv=Hinv, g=g, Sv=Sv, R=R, max_evals=evals
+    )
+
+
 def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
     """Rotations + derivatives (reference update(), mixed_stretch.cpp:159-243)."""
     F = meshmod.def_grad(mesh, x)
@@ -65,18 +81,23 @@ def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
         # tri_mesh.cpp:128-190): dF/dx includes the normal derivative.
         JT = meshmod.shell_def_grad_jacobian(mesh, x)     # (E, k, r, a, c)
         G = jnp.einsum("eiac,ekrac->eikr", D, JT)
-    else:
-        G = jnp.einsum("eirc,ekc->eikr", D, mesh.dphidX)  # (E, N, k, d)
+    elif mesh.rod:
+        # Frame-augmented rod jacobian (mesh/rod.py; the reference's
+        # RodMesh leaves this a stub, src/mesh/rod_mesh.h:30-34).
+        from mixedfem_tpu.mesh import rod as rodmod
 
-    h2 = dt * dt
-    Hraw = h2 * mat.hess_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
-    H, Hinv, Hs, evals = psd.psd_fix_sqrt(Hraw, tol=1e-8)
-    g = h2 * mat.grad_s_all(s, mesh.mu, mesh.lam, mesh.model_id, mesh.models)
-    Gw = jnp.sqrt(mesh.vols)[:, None, None, None] * jnp.einsum(
-        "eij,ejkr->eikr", Hs, G
-    )
-    return StretchCoeffs(
-        G=G, Gw=Gw, H=H, Hinv=Hinv, g=g, Sv=Sv, R=R, max_evals=evals
+        JT = rodmod.rod_def_grad_jacobian(
+            x, mesh.T,
+            mesh.rod_frames[:, 0], mesh.rod_frames[:, 1],
+            mesh.rod_frames[:, 2], mesh.rod_L,
+        )                                                 # (E, k, r, a, c)
+        G = jnp.einsum("eiac,ekrac->eikr", D, JT)
+    else:
+        G = smallops.contract_D_dphi(D, mesh.dphidX)      # (E, N, k, d)
+
+    return coeffs_from_FG(
+        F, G, R, Sv, s, mesh.vols, mesh.mu, mesh.lam, mesh.model_id,
+        mesh.models, dt,
     )
 
 

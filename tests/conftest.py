@@ -18,3 +18,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between modules — the full suite
+    accumulates enough XLA compile-cache memory on this 1-vCPU container
+    to segfault the compiler around test #90."""
+    yield
+    jax.clear_caches()
+    gc.collect()

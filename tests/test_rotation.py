@@ -198,3 +198,30 @@ class TestPallasScatter:
         ref = np.zeros((nv, d), np.float32)
         np.add.at(ref, seg, vals)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+class TestPlannedMatvec:
+    def test_planned_matvec_matches_element_matvec(self):
+        """Destination-sorted Pallas matvec == fused XLA-scatter matvec."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from mixedfem_tpu.solvers import operator as opmod
+        from mixedfem_tpu.variables import mixed_stretch as ms
+
+        from tests.test_newton import small_beam
+
+        mesh, V = small_beam(4, 3, 3)
+        x = jnp.asarray(V) * 1.02
+        s, _ = ms.reset(mesh, jnp.asarray(V))
+        coeffs = ms.update(mesh, x, s, 0.02)
+        plan = opmod.build_matvec_plan(mesh, chunk=512)
+
+        rng = np.random.default_rng(5)
+        p = jnp.asarray(rng.standard_normal((mesh.nv, 3)))
+        ref = opmod.element_matvec(mesh, p, ms_coeffs=coeffs)
+        Gwp = opmod.permute_gw(plan, coeffs.Gw)
+        with pltpu.force_tpu_interpret_mode():
+            out = opmod.planned_matvec(mesh, plan, Gwp, coeffs.Gw, p)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-10
+        )
