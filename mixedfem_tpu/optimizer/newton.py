@@ -30,6 +30,9 @@ from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.solvers import coarse as coarsemod
+from mixedfem_tpu.solvers import dual as dualmod
+from mixedfem_tpu.solvers import factory as solver_factory
+from mixedfem_tpu.solvers import minres as mrmod
 from mixedfem_tpu.solvers import operator as opmod
 from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import collision as vcol
@@ -118,6 +121,27 @@ def init_state(
     )
 
 
+def mixed_contact_merit(cf, x_t, cd_t, act_prev_mask, cla, dhat, kappa, dtype):
+    """Mixed-IPC contact terms of the merit function at a trial point:
+    barrier on trial mixed distances (newly violating candidates join with
+    d = D(x_t)) + the constraint term la . (D - d) over the active set
+    (MixedCollision::energy + constraint_value, mixed_collision.cpp:12-85)."""
+    from mixedfem_tpu.collision import distances as cdist
+
+    verts = x_t[cf.frames]
+    D_t = cdist.frame_distance(verts, cf.ftype)
+    act_prev = act_prev_mask > 0
+    d_eff = jnp.where(act_prev, cd_t, D_t)
+    act = jnp.logical_or(
+        act_prev, jnp.logical_and(D_t < dhat, cf.fmask > 0)
+    )
+    e = mc.energy(d_eff, act.astype(dtype), dhat, kappa, dtype)
+    m = jnp.logical_and(
+        act_prev, jnp.logical_or(D_t <= dhat, cd_t <= dhat)
+    ).astype(dtype)
+    return e + jnp.sum(cla * (D_t - cd_t) * m)
+
+
 def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla):
     """The merit function of the line search (newton_optimizer.cpp:63-78):
     inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars]."""
@@ -137,9 +161,12 @@ def newton_step(
     state: SimState,
     coarse: coarsemod.CoarseSpace | None = None,
     press_specs: Tuple[pressmod.PressSpec, ...] = (),
+    matvec_plan: opmod.GatherPlan | None = None,
 ) -> SimState:
     """One implicit BDF timestep. `coarse` enables the two-level
-    rigid-body-coarse preconditioner (solvers/coarse.py)."""
+    rigid-body-coarse preconditioner (solvers/coarse.py); `matvec_plan`
+    (opmod.build_gather_plan) switches the CG matvec to the gather-only
+    adjacency form (no scatter in the inner loop)."""
     dt = bdfmod.bdf_dt(state.bdf)
     h2 = dt * dt
     dtype = state.x.dtype
@@ -153,6 +180,25 @@ def newton_step(
     use_vcollision = "collision" in config.variables and have_frames
     use_friction = "friction" in config.variables and have_frames
     dhat, kappa = config.dhat, config.kappa
+
+    # Solve-path selection (the reference's linear_solver factory vocabulary,
+    # linear_solver_factory.cpp:24-226, resolved to internal path names).
+    solver = solver_factory.resolve_solver(config.solver)
+    if solver == "direct":
+        raise ValueError(
+            "config.solver='direct' is the host sparse-factorization path "
+            "(optimizer/newton_direct.py; Simulation.step routes there) — "
+            "newton_step compiles only the on-device iterative paths"
+        )
+    if solver in ("minres-kkt", "dual-cg"):
+        if not use_mixed:
+            raise NotImplementedError(f"{solver} requires mixed-stretch")
+        if use_vanilla or use_contact or use_vcollision or use_friction:
+            raise NotImplementedError(
+                f"{solver} supports mixed-stretch-only systems (the "
+                "reference's SystemMatrixIndefinite/DualCondensedSystem "
+                "contact products are served by the condensed 'pcg' path)"
+            )
 
     # dynamic external forces (MechanicalPress controllers)
     press_ext = jnp.zeros_like(state.x)
@@ -174,6 +220,8 @@ def newton_step(
     # per outer cycle too, preconditioners.h:94-102). Newton updates change
     # H mildly within a step; the preconditioner only affects CG iteration
     # counts, not solutions.
+    if solver != "pcg":
+        coarse = None  # only the default pcg path uses the two-level precond
     precond_out = state.precond
     if coarse is not None:
         refresh_every = max(config.coarse_refresh_every, 1)
@@ -182,8 +230,13 @@ def newton_step(
             coeffs0 = (
                 ms.update(mesh, state.x, state.s, dt) if use_mixed else None
             )
+            contact0 = None
+            if use_contact:
+                z = jnp.zeros((cf.frames.shape[0],), dtype)
+                cc0 = mc.update(mesh, cf, state.x, z, z, z, dhat, kappa)
+                contact0 = (cf.frames, cc0.Gx, cc0.H, cc0.active)
             return coarsemod.coarse_inverse(
-                coarsemod.coarse_matrix(mesh, coarse, coeffs0)
+                coarsemod.coarse_matrix(mesh, coarse, coeffs0, contact0)
             )
 
         if refresh_every > 1 and state.precond.shape[0] == coarse.ncd:
@@ -239,13 +292,24 @@ def newton_step(
 
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
         # (mass + element blocks fused into one gather/scatter pass)
+        use_plan = matvec_plan is not None and not mesh.shell
+
         def A(p):
-            out = opmod.element_matvec(
-                mesh,
-                p,
-                ms_coeffs=coeffs if use_mixed else None,
-                v_coeffs=vcoeffs if use_vanilla else None,
-            )
+            if use_plan:
+                out = opmod.gather_matvec(
+                    mesh,
+                    matvec_plan,
+                    p,
+                    ms_coeffs=coeffs if use_mixed else None,
+                    v_coeffs=vcoeffs if use_vanilla else None,
+                )
+            else:
+                out = opmod.element_matvec(
+                    mesh,
+                    p,
+                    ms_coeffs=coeffs if use_mixed else None,
+                    v_coeffs=vcoeffs if use_vanilla else None,
+                )
             if use_contact:
                 out = out + mc.matvec(mesh, cf, ccoeffs, p)
             if use_vcollision:
@@ -254,30 +318,68 @@ def newton_step(
                 out = out + fric.matvec(mesh, ffr, fcoeffs, p)
             return out
 
-        bj = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
-        if coarse is not None:
+        if solver in ("pcg", "pcg-block-jacobi", "pcg-diag"):
+            if solver == "pcg-diag":
+                # scalar Jacobi (eigen-pcg-diag semantics)
+                dvec = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+                dinv = jnp.where(dvec > 0, 1.0 / dvec, 1.0)
 
-            def Minv(r):
-                return coarsemod.two_level_apply(
-                    coarse, mesh.free_mask, Ac_inv, bj, r, mesh.dim
-                )
+                def bj(r):
+                    return r * dinv * mesh.free_mask[:, None]
+            else:
+                bj = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
+            if coarse is not None:
+
+                def Minv(r):
+                    return coarsemod.two_level_apply(
+                        coarse, mesh.free_mask, Ac_inv, bj, r, mesh.dim
+                    )
+            else:
+                Minv = bj
+
+            # Warm start: explicit-Euler prediction
+            # (eigen_iterative_solver.h:40-56)
+            dx0 = meshmod.project_free(mesh, target - x)
+            dx, cg_iters, cg_err = pcgmod.pcg(
+                A, b, dx0, Minv,
+                max_iters=config.max_iterative_solver_iters,
+                tol=config.itr_tol,
+            )
+
+            # --- local recovery of (ds, la) (SystemMatrixPD::post_solve)
+            if use_mixed:
+                ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+            else:
+                ds, la_new = jnp.zeros_like(s), la
         else:
-            Minv = bj
+            # Full-system paths: (dx, ds, dlam) solved together — the
+            # reference's SystemMatrixIndefinite (minres-indefinite-*) and
+            # DualCondensedSystem (subspace-*) post_solve unpacking.
+            rhs_kkt = mrmod.kkt_rhs(
+                mesh, state.bdf, coeffs, x, s, la,
+                blend=config.inertia_blend_factor,
+            )
+            if solver == "minres-kkt":
+                Aop = mrmod.kkt_operator(mesh, coeffs)
+                Mk = mrmod.kkt_block_diag_preconditioner(mesh, coeffs)
+                u0 = tuple(jax.tree.map(jnp.zeros_like, rhs_kkt))
+                (dx, ds, dl), cg_iters, cg_err = mrmod.minres(
+                    Aop, rhs_kkt, u0,
+                    max_iters=config.max_iterative_solver_iters,
+                    tol=config.itr_tol,
+                    Minv=Mk,
+                )
+            else:  # dual-cg
+                dx, ds, dl, cg_iters, cg_err = dualmod.solve_dual(
+                    mesh, coeffs, rhs_kkt,
+                    max_iters=config.max_iterative_solver_iters,
+                    tol=config.itr_tol,
+                )
+            la_new = la + dl
 
-        # Warm start: explicit-Euler prediction (eigen_iterative_solver.h:40-56)
-        dx0 = meshmod.project_free(mesh, target - x)
-        dx, cg_iters, cg_err = pcgmod.pcg(
-            A, b, dx0, Minv,
-            max_iters=config.max_iterative_solver_iters,
-            tol=config.itr_tol,
-        )
-
-        # --- local recovery of (ds, la) (SystemMatrixPD::post_solve)
         if use_mixed:
-            ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
             dec_new = jnp.maximum(jnp.max(jnp.abs(dx)), jnp.max(jnp.abs(ds)))
         else:
-            ds, la_new = jnp.zeros_like(s), la
             dec_new = jnp.max(jnp.abs(dx))
         if use_contact:
             cdd, cla_new = mc.local_solve(mesh, cf, ccoeffs, dx)
@@ -291,26 +393,9 @@ def newton_step(
             """Contact terms of the merit function at a trial point."""
             e_tot = jnp.zeros((), dtype)
             if use_contact:
-                # Barrier on trial mixed distances + newly violating
-                # candidates joining with d = D(x_t)
-                # (MixedCollision::energy, mixed_collision.cpp:12-50).
-                from mixedfem_tpu.collision import distances as cdist
-
-                verts = x_t[cf.frames]
-                D_t = cdist.frame_distance(verts, cf.ftype)
-                act_prev = cact_new > 0
-                d_eff = jnp.where(act_prev, cd_t, D_t)
-                act = jnp.logical_or(
-                    act_prev, jnp.logical_and(D_t < dhat, cf.fmask > 0)
+                e_tot = e_tot + mixed_contact_merit(
+                    cf, x_t, cd_t, cact_new, cla_new, dhat, kappa, dtype
                 )
-                e_tot = e_tot + mc.energy(
-                    d_eff, act.astype(dtype), dhat, kappa, dtype
-                )
-                # constraint term over the current frame set only
-                m = jnp.logical_and(
-                    act_prev, jnp.logical_or(D_t <= dhat, cd_t <= dhat)
-                ).astype(dtype)
-                e_tot = e_tot + jnp.sum(cla_new * (D_t - cd_t) * m)
             if use_vcollision:
                 e_tot = e_tot + h2 * vcol.energy(cf, x_t, dhat, kappa, dt)
             if use_friction:

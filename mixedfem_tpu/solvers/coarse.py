@@ -136,8 +136,15 @@ def coarse_matrix(
     mesh: meshmod.MeshData,
     cs: CoarseSpace,
     ms_coeffs: Optional[StretchCoeffs],
+    contact=None,  # (frames (C,4) int32, Gx (C,4,d), H (C,), active (C,))
 ) -> jnp.ndarray:
-    """Galerkin A_c = P^T (M + K) P, dense (6 naggr, 6 naggr)."""
+    """Galerkin A_c = P^T (M + K [+ K_contact]) P, dense (6 naggr, 6 naggr).
+
+    Contact barrier blocks enter the coarse space so stiff-contact (high
+    kappa) systems keep low CG counts — the role the reference's dual-ascent
+    preconditioner plays (preconditioners/dual_ascent_preconditioner.h:
+    41-226). Frame->aggregate pairs are dynamic, so they scatter directly
+    into the dense A_c (static shapes; indices change per step)."""
     d = mesh.dim
     k = mesh.nodes_per_elem
     dt = mesh.vols.dtype
@@ -165,6 +172,15 @@ def coarse_matrix(
     ncd = cs.ncd
     Ac = jnp.zeros((cs.naggr, 6, cs.naggr, 6), dt)
     Ac = Ac.at[cs.pair_rows, :, cs.pair_cols, :].add(pair_sums)
+
+    if contact is not None:
+        frames, Gx, Hc, act = contact
+        Bf = B[frames]                                    # (C, 4, d, 6)
+        Y = jnp.einsum("ckr,ckra->cka", Gx, Bf)           # (C, 4, 6)
+        blocks_c = jnp.einsum("cka,clb,c->cklab", Y, Y, Hc * act)
+        rows = cs.agg_id[frames]                          # (C, 4)
+        Ac = Ac.at[rows[:, :, None], :, rows[:, None, :], :].add(blocks_c)
+
     Ac = Ac.reshape(ncd, ncd)
     # Ridge for aggregates with all-pinned vertices / rank deficiency.
     scale = jnp.trace(Ac) / ncd + 1e-30
