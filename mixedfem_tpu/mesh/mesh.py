@@ -46,10 +46,21 @@ class MeshData:
     F_srf: jnp.ndarray       # boundary facets (3D: (nf,3), 2D: (ne,2)) int32
     E_srf: jnp.ndarray       # boundary edges (3D) / == F_srf (2D)
     rest_normal: jnp.ndarray  # (E, 3) shell rest normals ((0,) for solids)
+    # rods only (k=2 segments in 3D, mesh/rod.py): rest frame rows
+    # [t0; N0; B0] per segment and rest lengths ((0,...) otherwise)
+    rod_frames: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((0, 3, 3))
+    )
+    rod_L: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((0,))
+    )
 
-    dim: int = flax.struct.field(pytree_node=False)
-    models: Tuple[str, ...] = flax.struct.field(pytree_node=False)
+    dim: int = flax.struct.field(pytree_node=False, default=3)
+    models: Tuple[str, ...] = flax.struct.field(
+        pytree_node=False, default=()
+    )
     shell: bool = flax.struct.field(pytree_node=False, default=False)
+    rod: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def nv(self) -> int:
@@ -145,6 +156,70 @@ def build_mesh_data(
     )
 
 
+def build_rod_mesh_data(
+    V: np.ndarray,
+    E: np.ndarray,
+    *,
+    density: np.ndarray,
+    mu: np.ndarray,
+    lam: np.ndarray,
+    model_id: np.ndarray,
+    models: Tuple[str, ...],
+    is_fixed: np.ndarray,
+    ext_force: np.ndarray,
+    radius: float = 1e-2,
+    dtype=jnp.float64,
+) -> MeshData:
+    """Rods as a FIRST-CLASS element type: k=2 segments in 3D with the
+    frame-augmented deformation gradient of mesh/rod.py. The reference
+    leaves RodMesh::deformation_gradient an unimplemented stub
+    (src/mesh/rod_mesh.h:30-34); this completes the capability."""
+    from mixedfem_tpu.mesh import rod as rodmod
+
+    V = np.asarray(V, np.float64)
+    E = np.asarray(E, np.int32)
+    assert V.shape[1] == 3 and E.shape[1] == 2
+    t0, L, N0, B0 = rodmod.rod_rest_frames(V, E)
+    area = np.pi * radius * radius
+    vols = area * L
+    # linear-stretch part of F: dphi rows (-t0/L, +t0/L)
+    dphidX = np.stack([-t0 / L[:, None], t0 / L[:, None]], axis=1)
+    density = np.broadcast_to(np.asarray(density, np.float64), (len(E),))
+    mass_coeff = rodmod.rod_mass_coeff(L, density, radius)
+    lumped = np.zeros(len(V))
+    np.add.at(lumped, E.reshape(-1), mass_coeff.sum(axis=2).reshape(-1))
+    mdiag = np.zeros(len(V))
+    np.add.at(
+        mdiag,
+        E.reshape(-1),
+        np.diagonal(mass_coeff, axis1=1, axis2=2).reshape(-1),
+    )
+    frames = np.stack([t0, N0, B0], axis=1)  # (E, 3, 3) rows
+    return MeshData(
+        V0=jnp.asarray(V, dtype),
+        T=jnp.asarray(E),
+        dphidX=jnp.asarray(dphidX, dtype),
+        vols=jnp.asarray(vols, dtype),
+        mass_coeff=jnp.asarray(mass_coeff, dtype),
+        mass_lumped=jnp.asarray(lumped, dtype),
+        mass_diag=jnp.asarray(mdiag, dtype),
+        free_mask=jnp.asarray(~np.asarray(is_fixed, bool), dtype),
+        mu=jnp.asarray(np.broadcast_to(mu, (len(E),)), dtype),
+        lam=jnp.asarray(np.broadcast_to(lam, (len(E),)), dtype),
+        model_id=jnp.asarray(np.broadcast_to(model_id, (len(E),)), jnp.int32),
+        ext_force=jnp.asarray(ext_force, dtype),
+        obj_id=jnp.asarray(np.zeros(len(V)), jnp.int32),
+        F_srf=jnp.zeros((0, 3), jnp.int32),  # no faces: rods contact via EE
+        E_srf=jnp.asarray(E),
+        rest_normal=jnp.asarray(np.zeros((0, 3)), dtype),
+        rod_frames=jnp.asarray(frames, dtype),
+        rod_L=jnp.asarray(L, dtype),
+        dim=3,
+        models=tuple(models),
+        rod=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Element-level jax ops (all matrix-free)
 # ---------------------------------------------------------------------------
@@ -166,6 +241,14 @@ def def_grad(mesh: MeshData, x: jnp.ndarray) -> jnp.ndarray:
     reference, src/mesh/tet_mesh.cpp:77-80).
     Shells: F = F0 + outer(n(x), N_rest) — the normal-augmented membrane
     deformation gradient (tri_mesh.cpp:104-126)."""
+    if mesh.rod:
+        from mixedfem_tpu.mesh import rod as rodmod
+
+        return rodmod.rod_def_grad(
+            x, mesh.T,
+            mesh.rod_frames[:, 0], mesh.rod_frames[:, 1],
+            mesh.rod_frames[:, 2], mesh.rod_L,
+        )
     xe = x[mesh.T]  # (E, k, d)
     F = jnp.einsum("ekr,ekc->erc", xe, mesh.dphidX)
     if mesh.shell:
