@@ -1,0 +1,411 @@
+"""Vertex-partitioned FULL Newton step (shard_map + halo exchange).
+
+parallel/halo.py validates the halo-exchange matvec in isolation; this
+module runs the ENTIRE implicit step vertex-partitioned — the >8-chip
+scaling path where no chip ever holds whole-mesh vertex arrays (SURVEY §5:
+the element/vertex axes are this framework's sequence-parallelism analog):
+
+- shard-local coefficient builds (F -> polar -> ds/dF -> G -> psd-fixed H),
+- halo'd inertia gradient + condensed rhs,
+- PCG with psum dot products and the halo matvec,
+- shard-local (ds, la) recovery,
+- line-search energies as shard-local sums + psum,
+- pmax Newton decrement.
+
+Per-shard data layout matches parallel/halo.py: vertices in banded order
+(see parallel/reorder.py for the RCM pass that makes arbitrary meshes
+banded), D contiguous blocks of nb rows, elements owned by the shard of
+their minimum vertex, halo depth Bd rows exchanged with each neighbor by
+ppermute over ICI.
+
+Scope: mixed-stretch solids (the flagship path), BDF1, block-Jacobi
+preconditioner. Contact/shells/rods/BDF2+ run through the replicated GSPMD
+path (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mixedfem_tpu.config import SimConfig
+from mixedfem_tpu.materials import models as mat
+from mixedfem_tpu.mesh.mesh import MeshData
+from mixedfem_tpu.ops import rotation, smallops, sym
+from mixedfem_tpu.variables import mixed_stretch as ms
+
+
+class VPPlan(NamedTuple):
+    """Static per-shard partition + element data (leading axis = shard)."""
+
+    T_local: jnp.ndarray     # (D, Ep, k) into [halo_L | own | halo_R]
+    emask: jnp.ndarray       # (D, Ep)
+    dphidX: jnp.ndarray      # (D, Ep, k, d)
+    vols: jnp.ndarray        # (D, Ep)
+    mass_coeff: jnp.ndarray  # (D, Ep, k, k)
+    mu: jnp.ndarray          # (D, Ep)
+    lam: jnp.ndarray         # (D, Ep)
+    model_id: jnp.ndarray    # (D, Ep) int32
+    free_mask: jnp.ndarray   # (D, nb)
+    ext: jnp.ndarray         # (D, nb, dim)
+    nb: int
+    Bd: int
+    D: int
+    nv_pad: int
+    dim: int
+    models: Tuple[str, ...]
+
+
+def build_vp_plan(mesh: MeshData, n_shards: int) -> VPPlan:
+    """Partition a banded-ordered mesh; raises if the bandwidth exceeds the
+    halo capacity (use parallel/reorder.py first for arbitrary meshes)."""
+    T = np.asarray(mesh.T)
+    nv = mesh.nv
+    E, k = T.shape
+    d = mesh.dim
+    nb = -(-nv // n_shards)
+    nv_pad = nb * n_shards
+
+    owner = T.min(axis=1) // nb
+    starts = owner * nb
+    lo = (T - starts[:, None]).min()
+    hi = (T - starts[:, None]).max()
+    Bd = int(max(-lo, hi - nb + 1, 0))
+    Bd = -(-Bd // 8) * 8
+    if Bd > nb:
+        raise ValueError(
+            f"halo depth {Bd} exceeds block size {nb}: reorder the mesh "
+            "(parallel/reorder.py) or use fewer shards"
+        )
+
+    Ep = -(-max(int(np.bincount(owner, minlength=n_shards).max()), 1) // 8) * 8
+    dt_np = np.float64
+    T_local = np.zeros((n_shards, Ep, k), np.int32)
+    emask = np.zeros((n_shards, Ep), dt_np)
+    dphi = np.zeros((n_shards, Ep, k, d), dt_np)
+    vols = np.zeros((n_shards, Ep), dt_np)
+    mc = np.zeros((n_shards, Ep, k, k), dt_np)
+    mu = np.ones((n_shards, Ep), dt_np)
+    lam = np.ones((n_shards, Ep), dt_np)
+    mid = np.zeros((n_shards, Ep), np.int32)
+    for sh in range(n_shards):
+        ids = np.nonzero(owner == sh)[0]
+        n_own = len(ids)
+        T_local[sh, :n_own] = T[ids] - sh * nb + Bd
+        emask[sh, :n_own] = 1.0
+        dphi[sh, :n_own] = np.asarray(mesh.dphidX)[ids]
+        vols[sh, :n_own] = np.asarray(mesh.vols)[ids]
+        mc[sh, :n_own] = np.asarray(mesh.mass_coeff)[ids]
+        mu[sh, :n_own] = np.asarray(mesh.mu)[ids]
+        lam[sh, :n_own] = np.asarray(mesh.lam)[ids]
+        mid[sh, :n_own] = np.asarray(mesh.model_id)[ids]
+    assert T_local.min() >= 0 and T_local.max() < nb + 2 * Bd
+
+    def vpad(a):
+        return np.concatenate(
+            [np.asarray(a), np.zeros((nv_pad - nv,) + a.shape[1:], a.dtype)]
+        )
+
+    jdt = mesh.vols.dtype
+    return VPPlan(
+        T_local=jnp.asarray(T_local),
+        emask=jnp.asarray(emask, jdt),
+        dphidX=jnp.asarray(dphi, jdt),
+        vols=jnp.asarray(vols, jdt),
+        mass_coeff=jnp.asarray(mc, jdt),
+        mu=jnp.asarray(mu, jdt),
+        lam=jnp.asarray(lam, jdt),
+        model_id=jnp.asarray(mid),
+        free_mask=jnp.asarray(
+            vpad(np.asarray(mesh.free_mask)).reshape(n_shards, nb), jdt
+        ),
+        ext=jnp.asarray(
+            vpad(np.asarray(mesh.ext_force)).reshape(n_shards, nb, d), jdt
+        ),
+        nb=nb,
+        Bd=Bd,
+        D=n_shards,
+        nv_pad=nv_pad,
+        dim=d,
+        models=mesh.models,
+    )
+
+
+def pad_vertex_field(plan: VPPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """(nv, d) -> (nv_pad, d) zero-padded (ready to shard over rows)."""
+    return jnp.pad(x, ((0, plan.nv_pad - x.shape[0]), (0, 0)))
+
+
+def init_vp_state(plan: VPPlan, x0_pad: jnp.ndarray):
+    """Initial shard-local (s, la): rest-state identity stretch.
+
+    Matches MixedStretch::reset for simulations starting from the rest
+    pose (F = I); for deformed initial states, compute s per shard from the
+    initial polar decomposition instead."""
+    D, Ep, _ = plan.T_local.shape
+    d = plan.dim
+    N = 6 if d == 3 else 3
+    eye = jnp.zeros((N,), x0_pad.dtype)
+    eye = eye.at[:d].set(1.0)
+    s0 = jnp.broadcast_to(eye, (D, Ep, N))
+    return s0, jnp.zeros_like(s0)
+
+
+def vp_newton_step(
+    plan: VPPlan,
+    config: SimConfig,
+    jmesh: Mesh,
+    x: jnp.ndarray,      # (nv_pad, d) current positions (sharded rows)
+    v: jnp.ndarray,      # (nv_pad, d) velocities
+    s: jnp.ndarray,      # (D, Ep, N) mixed stretch (sharded on axis 0)
+    la: jnp.ndarray,     # (D, Ep, N)
+):
+    """One BDF1 implicit step, fully vertex-partitioned. Returns
+    (x_new, v_new, s_new, la_new, iters, decrement)."""
+    nb, Bd, D, d = plan.nb, plan.Bd, plan.D, plan.dim
+    h = config.h
+    dtype = x.dtype
+    dt2 = h * h
+    outer = config.outer_steps
+    models = plan.models
+    N = s.shape[-1]
+    w_sym = sym.sym_weights(d, dtype=dtype)
+    syminv = sym.syminv_weights(d, dtype=dtype)
+
+    right = [(i, (i + 1) % D) for i in range(D)]
+    left = [(i, (i - 1) % D) for i in range(D)]
+
+    # BDF1 target: x_tilde + h^2 ext (displacement.py:target)
+    target = x + h * v + dt2 * plan.ext.reshape(-1, d)
+
+    def body(x_blk, tgt_blk, s_blk, la_blk, Tl_b, em_b, dphi_b, vol_b,
+             mc_b, mu_b, lam_b, mid_b, fm_b):
+        x0 = x_blk[0]
+        tgt = tgt_blk[0]
+        s0 = s_blk[0]
+        la0 = la_blk[0]
+        Tl, em, dphi, vol = Tl_b[0], em_b[0], dphi_b[0], vol_b[0]
+        mc, mu_e, lam_e, mid = mc_b[0], mu_b[0], lam_b[0], mid_b[0]
+        fm = fm_b[0]
+
+        def halo(p):
+            """(nb, X) -> (nb + 2 Bd, X) via two ppermutes."""
+            halo_L = jax.lax.ppermute(p[nb - Bd:], "e", right)
+            halo_R = jax.lax.ppermute(p[:Bd], "e", left)
+            return jnp.concatenate([halo_L, p, halo_R], axis=0)
+
+        def unhalo_add(buf):
+            """(nb + 2 Bd, X) boundary contributions -> (nb, X)."""
+            back_L = jax.lax.ppermute(buf[:Bd], "e", left)
+            back_R = jax.lax.ppermute(buf[nb + Bd:], "e", right)
+            out = buf[Bd: nb + Bd]
+            out = out.at[nb - Bd:].add(back_L)
+            out = out.at[:Bd].add(back_R)
+            return out
+
+        def scatter_local(contrib):
+            """(Ep, k, d) -> (nb, d) with halo return."""
+            buf = jax.ops.segment_sum(
+                contrib.reshape(-1, d), Tl.reshape(-1),
+                num_segments=nb + 2 * Bd,
+            )
+            return unhalo_add(buf)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), "e")
+
+        def F_of(xbuf):
+            xe = xbuf[Tl]
+            return jnp.einsum("ekr,ekc->erc", xe, dphi), xe
+
+        def mass_apply(rbuf):
+            """element-wise consistent-mass product of a halo'd field."""
+            re = rbuf[Tl]
+            return jnp.einsum("ekl,eld->ekd", mc, re)
+
+        def stretch_Sv(xbuf):
+            F, _ = F_of(xbuf)
+            R, S = rotation.polar(F, d)
+            return sym.pack(S), R, S, F
+
+        def merit(x_t, s_t, la_t, tgtbuf):
+            xtbuf = halo(x_t)
+            diff_buf = xtbuf - tgtbuf
+            e_in = 0.5 * jnp.sum(
+                diff_buf[Bd: nb + Bd] * unhalo_add(
+                    jax.ops.segment_sum(
+                        mass_apply(diff_buf).reshape(-1, d),
+                        Tl.reshape(-1),
+                        num_segments=nb + 2 * Bd,
+                    )
+                )
+            )
+            psi = mat.psi_s_all(s_t, mu_e, lam_e, mid, models)
+            e_el = dt2 * jnp.sum(vol * psi * em)
+            Sv_t, _, _, _ = stretch_Sv(xtbuf)
+            e_c = jnp.sum(
+                vol * em * jnp.einsum("ei,ei->e", la_t, w_sym * (Sv_t - s_t))
+            )
+            return jax.lax.psum(e_in + e_el + e_c, "e")
+
+        tgtbuf0 = halo(tgt)
+
+        def newton_cond(carry):
+            xx, ss, ll, it, E_prev, dec, res = carry
+            return jnp.logical_and(
+                it < outer,
+                jnp.logical_and(dec > config.newton_tol, res > 1e-12),
+            )
+
+        def newton_body(carry):
+            xx, ss, ll, it, E_prev, dec, res = carry
+            xbuf = halo(xx)
+            F, _ = F_of(xbuf)
+            R, S = rotation.polar(F, d)
+            Sv = sym.pack(S)
+            Dt = rotation.dsdF(R, S, d)
+            G = smallops.contract_D_dphi(Dt, dphi)
+            coeffs = ms.coeffs_from_FG(
+                F, G, R, Sv, ss, vol, mu_e, lam_e, mid, models, h
+            )
+            Gw = coeffs.Gw * em[:, None, None, None]
+
+            # inertia gradient + rhs
+            diff_buf = xbuf - tgtbuf0
+            inertia = scatter_local(mass_apply(diff_buf)) * fm[:, None]
+            y = (
+                jnp.einsum("eij,ej->ei", coeffs.H, Sv - ss) + coeffs.g
+            ) * em[:, None]
+            b = -inertia + scatter_local(
+                -jnp.einsum("eikr,ei,e->ekr", G, y, vol)
+            ) * fm[:, None]
+
+            # block-Jacobi from mass + Gw blocks
+            eye_d = jnp.eye(d, dtype=dtype)
+            blk_e = jnp.einsum("eikr,eiks->ekrs", Gw, Gw) + (
+                jnp.einsum("ekk->ek", mc)[..., None, None] * eye_d
+            )
+            blk_buf = jax.ops.segment_sum(
+                blk_e.reshape(-1, d * d), Tl.reshape(-1),
+                num_segments=nb + 2 * Bd,
+            )
+            blocks = unhalo_add(blk_buf).reshape(nb, d, d)
+            mask = fm[:, None, None]
+            blocks = blocks * mask + eye_d * (1.0 - mask)
+            binv = jnp.linalg.inv(blocks)
+
+            def Minv(r):
+                return jnp.einsum("nij,nj->ni", binv, r) * fm[:, None]
+
+            def A(p):
+                p = p * fm[:, None]
+                pbuf = halo(p)
+                pe = pbuf[Tl]
+                out_e = jnp.einsum("ekl,eld->ekd", mc, pe)
+                q = jnp.einsum("eikr,ekr->ei", Gw, pe)
+                out_e = out_e + jnp.einsum("eikr,ei->ekr", Gw, q)
+                return scatter_local(out_e) * fm[:, None]
+
+            # PCG with psum dots (warm start: explicit-Euler prediction)
+            dx0 = (tgt - xx) * fm[:, None]
+            bn2 = pdot(b, b)
+            safe_b = jnp.where(bn2 > 0, bn2, 1.0)
+            tol2 = (config.itr_tol ** 2) * safe_b
+
+            r0 = b - A(dx0)
+            z0 = Minv(r0)
+
+            def cg_cond(c):
+                xc, rc, zc, pc, rzc, itc = c
+                return jnp.logical_and(
+                    itc < config.max_iterative_solver_iters,
+                    pdot(rc, rc) > tol2,
+                )
+
+            def cg_body(c):
+                xc, rc, zc, pc, rzc, itc = c
+                Ap = A(pc)
+                alpha = rzc / jnp.where(
+                    pdot(pc, Ap) != 0, pdot(pc, Ap), 1.0
+                )
+                xc = xc + alpha * pc
+                rc = rc - alpha * Ap
+                zc = Minv(rc)
+                rz_new = pdot(rc, zc)
+                beta = rz_new / jnp.where(rzc != 0, rzc, 1.0)
+                return (xc, rc, zc, zc + beta * pc, rz_new, itc + 1)
+
+            dx, _, _, _, _, cg_it = jax.lax.while_loop(
+                cg_cond, cg_body,
+                (dx0, r0, z0, z0, pdot(r0, z0), jnp.zeros((), jnp.int32)),
+            )
+
+            # local (ds, la) recovery
+            dxbuf = halo(dx)
+            ds = (Sv - ss) + jnp.einsum("eikr,ekr->ei", G, dxbuf[Tl])
+            ds = ds * em[:, None]
+            la_new = syminv * (
+                jnp.einsum("eij,ej->ei", coeffs.H, ds) + coeffs.g
+            ) * em[:, None]
+
+            dec_new = jnp.maximum(
+                jax.lax.pmax(jnp.max(jnp.abs(dx)), "e"),
+                jax.lax.pmax(jnp.max(jnp.abs(ds)), "e"),
+            )
+
+            E = merit(xx, ss, la_new, tgtbuf0)
+            res_new = jnp.abs((E - E_prev) / (E + 1e-6))
+
+            def ls_cond(c):
+                a, kk = c
+                Ea = merit(xx + a * dx, ss + a * ds, la_new, tgtbuf0)
+                return jnp.logical_and(kk < config.ls_iters, Ea >= E)
+
+            alpha, ls_k = jax.lax.while_loop(
+                ls_cond, lambda c: (c[0] * 0.5, c[1] + 1),
+                (jnp.asarray(1.0, dtype), jnp.zeros((), jnp.int32)),
+            )
+            accept = (ls_k < config.ls_iters).astype(dtype)
+            xx = xx + accept * alpha * dx
+            ss = ss + accept * alpha * ds
+            return (xx, ss, la_new, it + 1, E, dec_new, res_new)
+
+        big = jnp.asarray(jnp.inf, dtype)
+        xx, ss, ll, it, E, dec, res = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (x0, s0, la0, jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
+             big, big),
+        )
+        return xx[None], ss[None], ll[None], it, dec
+
+    f = shard_map(
+        body,
+        mesh=jmesh,
+        in_specs=(P("e"),) * 13,
+        out_specs=(P("e"), P("e"), P("e"), P(), P()),
+    )
+    x_new, s_new, la_new, iters, dec = f(
+        x.reshape(D, nb, d),
+        target.reshape(D, nb, d),
+        s,
+        la,
+        plan.T_local,
+        plan.emask,
+        plan.dphidX,
+        plan.vols,
+        plan.mass_coeff,
+        plan.mu,
+        plan.lam,
+        plan.model_id,
+        plan.free_mask,
+    )
+    x_new = x_new.reshape(-1, d)
+    v_new = (x_new - x) / h
+    # multipliers are cleared at step end (MixedCollision/MixedStretch
+    # post_solve semantics)
+    return x_new, v_new, s_new, jnp.zeros_like(la_new), iters, dec
