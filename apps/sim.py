@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--timing-csv", default=None,
                     help="append per-step wall-clock rows (reference timing.csv format)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--solver", default=None,
+                    help="override the scene's linear_solver (any reference "
+                         "factory name or internal path name; e.g. 'pcg' to "
+                         "run a cholmod scene on the TPU iterative path)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,7 +50,12 @@ def main():
     from mixedfem_tpu.mesh import discretization as disc
     from mixedfem_tpu.utils.timer import OptimizerData
 
-    sim = load_scene(args.scene, dim=args.dim, dtype=args.dtype)
+    overrides = (
+        {"linear_solver": args.solver} if args.solver is not None else None
+    )
+    sim = load_scene(
+        args.scene, dim=args.dim, dtype=args.dtype, overrides=overrides
+    )
     n = args.steps if args.steps is not None else sim.config.timesteps
     os.makedirs(args.out, exist_ok=True)
 

@@ -83,6 +83,12 @@ class SimConfig:
 
     # numerics
     dtype: str = "float64"           # compute dtype ('float32' on TPU benches)
+    # 'native' | 'float64': computes the Newton rhs, local solve and
+    # line-search energies in f64 islands while the CG solve stays in
+    # `dtype`. Lifts the f32 stall (decrement ~2e-5, set by catastrophic
+    # cancellation in the force balance) down to ~1e-7+. Requires
+    # jax_enable_x64; no-op for dtype='float64'.
+    rhs_precision: str = "native"
 
     show_data: bool = True
     show_timing: bool = True

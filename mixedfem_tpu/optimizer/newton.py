@@ -121,7 +121,10 @@ def init_state(
     )
 
 
-def mixed_contact_merit(cf, x_t, cd_t, act_prev_mask, cla, dhat, kappa, dtype):
+def mixed_contact_merit(
+    cf, x_t, cd_t, act_prev_mask, cla, dhat, kappa, dtype,
+    mesh=None, ee_mollifier=False,
+):
     """Mixed-IPC contact terms of the merit function at a trial point:
     barrier on trial mixed distances (newly violating candidates join with
     d = D(x_t)) + the constraint term la . (D - d) over the active set
@@ -135,7 +138,14 @@ def mixed_contact_merit(cf, x_t, cd_t, act_prev_mask, cla, dhat, kappa, dtype):
     act = jnp.logical_or(
         act_prev, jnp.logical_and(D_t < dhat, cf.fmask > 0)
     )
-    e = mc.energy(d_eff, act.astype(dtype), dhat, kappa, dtype)
+    m_t = None
+    if ee_mollifier and mesh is not None and mesh.dim == 3:
+        from mixedfem_tpu.collision import mollifier as mol
+
+        m_t = mol.mollifier(
+            verts, cf.ftype, mol.eps_x(mesh.V0[cf.frames])
+        )
+    e = mc.energy(d_eff, act.astype(dtype), dhat, kappa, dtype, m=m_t)
     m = jnp.logical_and(
         act_prev, jnp.logical_or(D_t <= dhat, cd_t <= dhat)
     ).astype(dtype)
@@ -200,6 +210,30 @@ def newton_step(
                 "contact products are served by the condensed 'pcg' path)"
             )
 
+    # f64 islands for the cancellation-limited pieces (config.rhs_precision)
+    hp = config.rhs_precision == "float64" and dtype != jnp.float64
+    if hp:
+        if use_contact or use_vcollision or use_friction:
+            raise NotImplementedError(
+                "rhs_precision='float64' currently supports contact-free "
+                "systems (the flagship beam/elasticity path)"
+            )
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "rhs_precision='float64' requires jax_enable_x64"
+            )
+
+        def _up(t):
+            return jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                t,
+            )
+
+        mesh_hp = _up(mesh)
+        bdf_hp = _up(state.bdf)
+
     # dynamic external forces (MechanicalPress controllers)
     press_ext = jnp.zeros_like(state.x)
     for spec, pst in zip(press_specs, state.press_states):
@@ -263,16 +297,34 @@ def newton_step(
 
         # --- update_system: rotations, derivatives (mixed_stretch.update)
         eye = jnp.eye(mesh.dim, dtype=dtype)
-        inertia_grad = disp.gradient(
-            mesh, state.bdf, x, blend=config.inertia_blend_factor
-        )
-        b = -inertia_grad
+        if hp:
+            x64 = x.astype(jnp.float64)
+            s64 = s.astype(jnp.float64)
+            inertia_grad64 = disp.gradient(
+                mesh_hp, bdf_hp, x64, blend=config.inertia_blend_factor
+            )
+            inertia_grad = inertia_grad64.astype(dtype)
+            b64 = -inertia_grad64
+        else:
+            inertia_grad = disp.gradient(
+                mesh, state.bdf, x, blend=config.inertia_blend_factor
+            )
+            b = -inertia_grad
         blocks = mesh.mass_diag[:, None, None] * eye
 
         if use_mixed:
-            coeffs = ms.update(mesh, x, s, dt)
-            b = b + ms.rhs(mesh, coeffs, s)
+            if hp:
+                coeffs_hp = ms.update(mesh_hp, x64, s64, dt)
+                coeffs = jax.tree.map(
+                    lambda a: a.astype(dtype), coeffs_hp
+                )
+                b64 = b64 + ms.rhs(mesh_hp, coeffs_hp, s64)
+            else:
+                coeffs = ms.update(mesh, x, s, dt)
+                b = b + ms.rhs(mesh, coeffs, s)
             blocks = blocks + ms.diag_blocks(mesh, coeffs)
+        if hp:
+            b = b64.astype(dtype)
         if use_vanilla:
             vcoeffs = vstretch.update(mesh, x, dt)
             b = b - vstretch.gradient(mesh, vcoeffs)
@@ -348,9 +400,18 @@ def newton_step(
 
             # --- local recovery of (ds, la) (SystemMatrixPD::post_solve)
             if use_mixed:
-                ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+                if hp:
+                    ds64, la64 = ms.local_solve(
+                        mesh_hp, coeffs_hp, s64, dx.astype(jnp.float64)
+                    )
+                    ds, la_new = ds64.astype(dtype), la64.astype(dtype)
+                else:
+                    ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
             else:
                 ds, la_new = jnp.zeros_like(s), la
+                if hp:
+                    ds64 = jnp.zeros_like(s64)
+                    la64 = la.astype(jnp.float64)
         else:
             # Full-system paths: (dx, ds, dlam) solved together — the
             # reference's SystemMatrixIndefinite (minres-indefinite-*) and
@@ -405,9 +466,21 @@ def newton_step(
             return e_tot
 
         # --- energies + backtracking line search (linesearch.h:78-129)
-        E = _total_energy(
-            mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla
-        ) + contact_energy(x, cd_cur)
+        if hp:
+            dx64 = dx.astype(jnp.float64)
+
+            def merit64(a):
+                return _total_energy(
+                    mesh_hp, bdf_hp, h2, x64 + a * dx64,
+                    s64 + a * ds64, la64, use_mixed, use_vanilla,
+                )
+
+            E64_full = merit64(jnp.zeros((), jnp.float64))
+            E = E64_full.astype(dtype)
+        else:
+            E = _total_energy(
+                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla
+            ) + contact_energy(x, cd_cur)
         res_new = jnp.abs((E - E_prev) / (E + 1e-6))
 
         # vanilla-FEM gradient norm at the iterate (convergence.cpp:22-52)
@@ -425,13 +498,29 @@ def newton_step(
         else:
             alpha0 = jnp.asarray(1.0, dtype)
 
-        def ls_cond(c):
-            a, k = c
-            Ea = _total_energy(
-                mesh, state.bdf, h2, x + a * dx, s + a * ds, la_new,
-                use_mixed, use_vanilla,
-            ) + contact_energy(x + a * dx, cd_cur + a * cdd)
-            return jnp.logical_and(k < config.ls_iters, Ea >= E)
+        # Noise-tolerant acceptance: near convergence the true decrease
+        # (~decrement^2) falls below the floating-point rounding of the
+        # energy sums; a strict E(a) < E(0) then rejects every step and
+        # Newton stalls (f32: at decrement ~1e-5). Accepting changes within
+        # the rounding noise band is safe (the 1e30 infeasibility guard for
+        # contact still dominates) and lets f32 contract to the rhs noise
+        # floor. In f64 the band is ~1e-15 relative — behavior unchanged.
+        if hp:
+            # f64 merit: comparisons are exact at f32-relevant scales
+            def ls_cond(c):
+                a, k = c
+                Ea = merit64(a.astype(jnp.float64))
+                return jnp.logical_and(k < config.ls_iters, Ea >= E64_full)
+        else:
+            eps_E = 16.0 * jnp.finfo(dtype).eps * jnp.abs(E)
+
+            def ls_cond(c):
+                a, k = c
+                Ea = _total_energy(
+                    mesh, state.bdf, h2, x + a * dx, s + a * ds, la_new,
+                    use_mixed, use_vanilla,
+                ) + contact_energy(x + a * dx, cd_cur + a * cdd)
+                return jnp.logical_and(k < config.ls_iters, Ea >= E + eps_E)
 
         def ls_body(c):
             a, k = c

@@ -351,3 +351,37 @@ class TestCoarseRefresh:
         )
         # cached inverse is populated and reused
         assert np.abs(np.asarray(s2.precond)).max() > 0
+
+
+class TestMixedPrecision:
+    def test_f32_with_f64_rhs_reaches_1e7_decrement(self):
+        """config.rhs_precision='float64': f64 islands for the gradient/
+        rhs/local-solve/merit lift the f32 Newton stall (cancellation-
+        limited at ~2e-5) to the f32-state floor ~1e-7."""
+        mesh, V = small_beam(8, 3, 3)
+        mesh32 = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.float64
+            else a,
+            mesh,
+        )
+        x0 = jnp.asarray(V, jnp.float32)
+
+        def run(rhs_precision):
+            config = SimConfig(
+                h=0.02, outer_steps=12, newton_tol=0.0, itr_tol=1e-8,
+                max_iterative_solver_iters=5000,
+                mixed_variables=("mixed-stretch",),
+                dtype="float32", rhs_precision=rhs_precision,
+            )
+            state = newton.init_state(
+                mesh32, config, (), x0, jnp.zeros_like(x0)
+            )
+            state = newton.newton_step(mesh32, config, (), state)
+            dec = np.asarray(state.stats.decrement)
+            return dec[dec > 0].min()
+
+        floor_native = run("native")
+        floor_hp = run("float64")
+        assert floor_hp < 5e-7, floor_hp
+        assert floor_hp < floor_native / 20, (floor_hp, floor_native)
