@@ -63,6 +63,10 @@ class SimConfig:
     enable_ccd: bool = False
     dhat: float = 1e-2
     max_contact_frames: int = 0      # static padded contact set size (0 = auto)
+    # EE-mollifier (collision/mollifier.py): smooth the edge-edge barrier
+    # near parallel edges. Off by default — the reference computes eps_x
+    # but ships the application disabled (mixed_collision.cpp:149-165).
+    ee_mollifier: bool = False
 
     # solver: an internal path name ('pcg' | 'pcg-block-jacobi' | 'pcg-diag'
     # | 'direct' | 'minres-kkt' | 'dual-cg') or any reference factory name

@@ -267,7 +267,10 @@ def newton_step(
             contact0 = None
             if use_contact:
                 z = jnp.zeros((cf.frames.shape[0],), dtype)
-                cc0 = mc.update(mesh, cf, state.x, z, z, z, dhat, kappa)
+                cc0 = mc.update(
+                    mesh, cf, state.x, z, z, z, dhat, kappa,
+                    ee_mollifier=config.ee_mollifier,
+                )
                 contact0 = (cf.frames, cc0.Gx, cc0.H, cc0.active)
             return coarsemod.coarse_inverse(
                 coarsemod.coarse_matrix(mesh, coarse, coeffs0, contact0)
@@ -330,7 +333,10 @@ def newton_step(
             b = b - vstretch.gradient(mesh, vcoeffs)
             blocks = blocks + vstretch.diag_blocks(mesh, vcoeffs)
         if use_contact:
-            ccoeffs = mc.update(mesh, cf, x, cd, cla, cact, dhat, kappa)
+            ccoeffs = mc.update(
+                mesh, cf, x, cd, cla, cact, dhat, kappa,
+                ee_mollifier=config.ee_mollifier,
+            )
             b = b + mc.rhs(mesh, cf, ccoeffs)
             blocks = blocks + mc.diag_blocks(mesh, cf, ccoeffs)
         if use_vcollision:
@@ -455,7 +461,8 @@ def newton_step(
             e_tot = jnp.zeros((), dtype)
             if use_contact:
                 e_tot = e_tot + mixed_contact_merit(
-                    cf, x_t, cd_t, cact_new, cla_new, dhat, kappa, dtype
+                    cf, x_t, cd_t, cact_new, cla_new, dhat, kappa, dtype,
+                    mesh=mesh, ee_mollifier=config.ee_mollifier,
                 )
             if use_vcollision:
                 e_tot = e_tot + h2 * vcol.energy(cf, x_t, dhat, kappa, dt)

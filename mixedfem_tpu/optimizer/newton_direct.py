@@ -90,7 +90,10 @@ def newton_step_direct(
             vcoeffs = vstretch.update(mesh, x, dt)
             b = b - vstretch.gradient(mesh, vcoeffs)
         if use_contact:
-            ccoeffs = mc.update(mesh, cf, x, cd, cla, cact, dhat, kappa)
+            ccoeffs = mc.update(
+                mesh, cf, x, cd, cla, cact, dhat, kappa,
+                ee_mollifier=config.ee_mollifier,
+            )
             b = b + mc.rhs(mesh, cf, ccoeffs)
 
         contact_blocks = (
@@ -130,7 +133,8 @@ def newton_step_direct(
             )
             if use_contact:
                 E = E + newtonmod.mixed_contact_merit(
-                    cf, x_t, cd_t, cact_new, cla_new, dhat, kappa, dtype
+                    cf, x_t, cd_t, cact_new, cla_new, dhat, kappa, dtype,
+                    mesh=mesh, ee_mollifier=config.ee_mollifier,
                 )
             return float(E)
 

@@ -44,11 +44,15 @@ class ContactFrames:
 class CollisionCoeffs:
     D: jnp.ndarray       # (C,) true distance at current x
     Gx: jnp.ndarray      # (C, 4, d) distance gradient
-    g: jnp.ndarray       # (C,) dpsi/dd
-    H: jnp.ndarray       # (C,) d2psi/dd2 (clamped)
+    g: jnp.ndarray       # (C,) dpsi/dd (mollifier-scaled when enabled)
+    H: jnp.ndarray       # (C,) d2psi/dd2 (clamped; mollifier-scaled)
     active: jnp.ndarray  # (C,) float mask
     d: jnp.ndarray       # (C,) mixed distances (with new-frame init applied)
     la: jnp.ndarray      # (C,) multipliers (new frames zeroed)
+    # EE-mollifier force kappa * b(d^2) * dm/dx (zeros when disabled)
+    gmf: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((0, 4, 3))
+    )
 
 
 def _frame_verts(cf: ContactFrames, x: jnp.ndarray):
@@ -64,6 +68,7 @@ def update(
     active_prev: jnp.ndarray,
     dhat: float,
     kappa: float,
+    ee_mollifier: bool = False,
 ) -> CollisionCoeffs:
     verts = _frame_verts(cf, x)
     D = dist.frame_distance(verts, cf.ftype)
@@ -79,7 +84,24 @@ def update(
 
     g, H = bar.mixed_barrier_grad_hess(d, dhat, kappa)
     af = active.astype(x.dtype)
-    return CollisionCoeffs(D=D, Gx=Gx, g=g * af, H=H, active=af, d=d, la=la)
+
+    C = cf.frames.shape[0]
+    gmf = jnp.zeros((C, 4, mesh.dim), x.dtype)
+    if ee_mollifier and mesh.dim == 3:
+        # scale the barrier by m(x) (collision/mollifier.py; Gauss-Newton:
+        # grad^2 m and the m-d cross blocks are dropped, keeping the
+        # condensed system SPD); the dm/dx force enters the rhs via gmf.
+        from mixedfem_tpu.collision import mollifier as mol
+
+        epsx = mol.eps_x(mesh.V0[cf.frames])
+        m, gm = mol.mollifier_grad(verts, cf.ftype, epsx)
+        bval = bar.barrier(d * d, dhat * dhat)
+        g = g * m
+        H = jnp.maximum(H * m, 1e-8)
+        gmf = (kappa * bval * af)[:, None, None] * gm
+    return CollisionCoeffs(
+        D=D, Gx=Gx, g=g * af, H=H, active=af, d=d, la=la, gmf=gmf
+    )
 
 
 def _scatter_frames(mesh, cf, contrib):
@@ -95,6 +117,8 @@ def _scatter_frames(mesh, cf, contrib):
 def rhs(mesh: meshmod.MeshData, cf: ContactFrames, c: CollisionCoeffs):
     gl = c.H * (c.D - c.d) + c.g
     contrib = -c.Gx * (gl * c.active)[:, None, None]
+    if c.gmf.shape[0] == cf.frames.shape[0]:
+        contrib = contrib - c.gmf  # EE-mollifier dm/dx force
     return _scatter_frames(mesh, cf, contrib)
 
 
@@ -126,11 +150,14 @@ def local_solve(mesh: meshmod.MeshData, cf: ContactFrames, c: CollisionCoeffs, d
     return delta, la
 
 
-def energy(c_dmixed, active, dhat, kappa, dtype):
-    """kappa * sum b(d^2, dhat^2) over active frames — NOT h^2-scaled (the
-    reference divides by h^2 and the optimizer multiplies back,
-    mixed_collision.cpp:44-46). Infeasible d <= 0 -> huge energy."""
+def energy(c_dmixed, active, dhat, kappa, dtype, m=None):
+    """kappa * sum [m *] b(d^2, dhat^2) over active frames — NOT h^2-scaled
+    (the reference divides by h^2 and the optimizer multiplies back,
+    mixed_collision.cpp:44-46). Infeasible d <= 0 -> huge energy. `m` is
+    the optional EE-mollifier value per frame."""
     b = bar.barrier(c_dmixed * c_dmixed, dhat * dhat)
+    if m is not None:
+        b = b * m
     e = kappa * jnp.sum(b * active)
     bad = jnp.any(jnp.logical_and(active > 0, c_dmixed <= 0))
     return jnp.where(bad, jnp.asarray(1e30, dtype), e)
