@@ -105,16 +105,20 @@ def _make_kernel(W: int, nv_pad: int, chunk: int, d: int):
         def _():
             out_ref[:, :] = jnp.zeros_like(out_ref)
 
-        # one-hot reduce on the VPU: sums[j, w] = sum_b [lidx[b] == w] vals[b, j]
-        # (W on the lane axis; MXU would run bf16 passes and lose precision)
+        # one-hot reduce as an MXU matmul: sums(d, W) = vals^T @ onehot.
+        # The elementwise-multiply + cross-sublane jnp.sum form runs ~10x
+        # slower on the VPU (reduction over the 2048-sublane axis); the
+        # dot contracts over chunk on the systolic array. f32 inputs keep
+        # exact 0/1 one-hot weights.
         lidx = lidx_ref[:, 0]  # (chunk,)
         vals = vals_ref[:, :]  # (chunk, d)
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 1)
         oh = (lidx[:, None] == cols).astype(vals.dtype)  # (chunk, W)
-        sums_t = [
-            jnp.sum(oh * vals[:, j][:, None], axis=0) for j in range(d)
-        ]  # d x (W,)
-        sums = jnp.stack(sums_t, axis=0)  # (d, W)
+        sums = jax.lax.dot_general(
+            vals, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=vals.dtype,
+        )  # (d, W)
         # win_start is stored in LANE UNITS; multiplying by 128 here lets
         # Mosaic statically prove the lane-axis slice is 128-aligned
         v0 = ws_ref[c] * 128

@@ -125,3 +125,59 @@ class TestSceneVocabulary:
         sim = load_scene(p, dim=dim)
         assert sim.mesh.nelem > 0
         assert np.isfinite(np.asarray(sim.state.x)).all()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SCENES), reason="reference absent")
+class TestReferenceSceneSweep:
+    """Breadth: the 2D reference scene suite loads and steps stably with
+    its full vocabulary (BC scripts, external forces, press controller,
+    multi-object contact, BDF2). Solver overridden to the iterative path
+    and iteration counts reduced to bound test runtime."""
+
+    SCENES_2D = [
+        "trampoline.json",
+        "press.json",
+        "ramp.json",
+        "three_blocks.json",
+        "boundary_conditions.json",
+        "external_forces.json",
+        "diving_board.json",
+    ]
+
+    @pytest.mark.parametrize("name", SCENES_2D)
+    def test_scene_steps(self, name):
+        sim = load_scene(
+            f"{REF_SCENES}/2D/{name}",
+            dim=2,
+            overrides={
+                "max_newton_iterations": 4,
+                "linear_solver": "eigen-pcg-block_jacobi",
+            },
+        )
+        x_prev = np.asarray(sim.state.x).copy()
+        for _ in range(2):
+            sim.step()
+        X = np.asarray(sim.state.x)
+        assert np.isfinite(X).all(), name
+        # gravity/BC scripts must have moved something
+        assert np.abs(X - x_prev).max() > 1e-8, name
+        it = int(sim.state.stats.iterations)
+        assert it >= 1
+        E = np.asarray(sim.state.stats.energy)[:it]
+        assert np.isfinite(E).all(), name
+
+    def test_press_controller_state_advances(self):
+        sim = load_scene(
+            f"{REF_SCENES}/2D/press.json",
+            dim=2,
+            overrides={
+                "max_newton_iterations": 4,
+                "linear_solver": "eigen-pcg-block_jacobi",
+            },
+        )
+        assert len(sim.press_specs) == 1
+        f0 = float(sim.state.press_states[0].f)
+        for _ in range(3):
+            sim.step()
+        f1 = float(sim.state.press_states[0].f)
+        assert f0 != f1  # the controller adapted its force
