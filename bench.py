@@ -24,8 +24,12 @@ def build(nx, ny, nz, dtype, backend_device=None):
     from mixedfem_tpu.config import SimConfig, enu_to_lame
     from mixedfem_tpu.mesh import generators, mesh as meshmod
     from mixedfem_tpu.optimizer import newton
+    from mixedfem_tpu.solvers.operator import sort_elements_banded
 
     V, T = generators.box_tet_mesh(nx, ny, nz, size=(4.0, 1.0, 1.0))
+    # banded element order (free static reorder; enables the windowed
+    # Pallas assembly kernel on TPU)
+    T = T[sort_elements_banded(T)]
     la, mu = enu_to_lame(1e6, 0.45)
     is_fixed = np.zeros(len(V), bool)
     is_fixed[V[:, 0] < 1e-9] = True
@@ -65,15 +69,15 @@ def _sync(x):
     np.asarray(x).ravel()[:1]
 
 
-def time_steps(mesh, config, state, n_steps=5, coarse=None):
+def time_steps(mesh, config, state, n_steps=5, coarse=None, plan=None):
     from mixedfem_tpu.optimizer.newton import newton_step
 
     # warmup/compile
-    state = newton_step(mesh, config, (), state, coarse)
+    state = newton_step(mesh, config, (), state, coarse, (), plan)
     _sync(state.stats.energy)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state = newton_step(mesh, config, (), state, coarse)
+        state = newton_step(mesh, config, (), state, coarse, (), plan)
     _sync(state.stats.energy)
     dt_ms = (time.perf_counter() - t0) / n_steps * 1e3
     it = int(state.stats.iterations)
@@ -157,7 +161,12 @@ def main():
 
     from mixedfem_tpu.solvers.coarse import build_coarse_space
 
+    from mixedfem_tpu.solvers.operator import build_banded_plan
+
     mesh, config, state, ntets = build(40, 25, 20, "float32")  # 100k tets
+    plan = (
+        build_banded_plan(mesh) if jax.default_backend() != "cpu" else None
+    )
     cs = build_coarse_space(
         np.asarray(mesh.V0),
         np.asarray(mesh.T),
@@ -168,7 +177,9 @@ def main():
     state = state.replace(
         precond=jnp.zeros((cs.ncd, cs.ncd), jnp.float32)
     )
-    ms_100k, it, cg, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs)
+    ms_100k, it, cg, _ = time_steps(
+        mesh, config, state, n_steps=5, coarse=cs, plan=plan
+    )
     extras["tets_100k"] = ntets
     extras["coarse_aggregates"] = cs.naggr
     if cli.stages:
@@ -188,7 +199,12 @@ def main():
     state = state.replace(
         precond=jnp.zeros((cs10.ncd, cs10.ncd), jnp.float32)
     )
-    ms_10k, _, _, _ = time_steps(mesh, config, state, n_steps=5, coarse=cs10)
+    plan10 = (
+        build_banded_plan(mesh) if jax.default_backend() != "cpu" else None
+    )
+    ms_10k, _, _, _ = time_steps(
+        mesh, config, state, n_steps=5, coarse=cs10, plan=plan10
+    )
     extras["ms_per_step_10k_tets"] = round(ms_10k, 3)
 
     # Honest north-star denominator: CPU at the SAME 100k size. Slow

@@ -45,6 +45,8 @@ class Simulation:
     coarse: object = None  # optional CoarseSpace (two-level preconditioner)
     press_specs: Tuple = ()
     skinning: Tuple = ()  # per-object (V_render, F_render, tet_id, bary)
+    # banded-element-order Pallas matvec plan (TPU only; solvers/operator.py)
+    matvec_plan: object = None
 
     def skinned_surfaces(self):
         """Advect attached render meshes (reference skinning export,
@@ -68,7 +70,7 @@ class Simulation:
             )
         return newton_step(
             self.mesh, self.config, self.bc_specs, self.state,
-            self.coarse, self.press_specs,
+            self.coarse, self.press_specs, self.matvec_plan,
         )
 
     def step(self) -> SimState:
@@ -406,12 +408,35 @@ def load_scene(
         [np.vectorize(remap.get)(arr) for arr in model_e]
     )
 
+    mu_all = np.concatenate(mu_e)
+    la_all = np.concatenate(la_e)
+    rho_all = np.concatenate(rho_e)
+
+    # On accelerators: banded element order enables the windowed Pallas
+    # assembly kernel (solvers/operator.py banded_matvec). A pure static
+    # reorder — permute all per-element arrays together. CPU keeps the
+    # scene's natural order (bit-identical trajectories for the oracle
+    # tests; the Pallas kernel is TPU-only anyway).
+    import jax
+
+    use_banded = jax.default_backend() != "cpu"
+    elem_perm = None
+    if use_banded:
+        from mixedfem_tpu.solvers.operator import sort_elements_banded
+
+        elem_perm = sort_elements_banded(T)
+        T = T[elem_perm]
+        mu_all = mu_all[elem_perm]
+        la_all = la_all[elem_perm]
+        rho_all = rho_all[elem_perm]
+        model_id = model_id[elem_perm]
+
     mesh = build_mesh_data(
         V,
         T,
-        density=np.concatenate(rho_e),
-        mu=np.concatenate(mu_e),
-        lam=np.concatenate(la_e),
+        density=rho_all,
+        mu=mu_all,
+        lam=la_all,
         model_id=model_id,
         models=models_present,
         is_fixed=is_fixed,
@@ -424,6 +449,12 @@ def load_scene(
 
     # Two-level preconditioner for anything beyond toy size (it only
     # changes CG iteration counts, not solutions).
+    matvec_plan = None
+    if use_banded and len(T) >= 2000:
+        from mixedfem_tpu.solvers.operator import build_banded_plan
+
+        matvec_plan = build_banded_plan(mesh)
+
     coarse = None
     if len(T) >= 2000 and config.solver == "pcg":
         from mixedfem_tpu.solvers.coarse import build_coarse_space
@@ -466,12 +497,19 @@ def load_scene(
     # skinning embeddings (utils/skinning.py; global tet ids)
     from mixedfem_tpu.utils.skinning import embed_in_tets
 
+    inv_perm = None
+    if elem_perm is not None:
+        inv_perm = np.empty(len(elem_perm), np.int64)
+        inv_perm[elem_perm] = np.arange(len(elem_perm))
     skinning = []
     for (Vr, Fr, V_obj, T_obj, off_i) in skinning_raw:
         tid, bary = embed_in_tets(Vr, V_obj, T_obj)
-        # remap local tet ids to global element indices
+        # remap local tet ids to global element indices (pre-banded order)
         tet_offset = sum(len(t) for t, sl in zip(Ts, obj_slices) if sl.start < off_i)
-        skinning.append((Vr, Fr, tid + tet_offset, bary))
+        tid_g = tid + tet_offset
+        if inv_perm is not None:
+            tid_g = inv_perm[tid_g]
+        skinning.append((Vr, Fr, tid_g, bary))
 
     return Simulation(
         mesh=mesh,
@@ -483,4 +521,5 @@ def load_scene(
         coarse=coarse,
         press_specs=tuple(press_specs),
         skinning=tuple(skinning),
+        matvec_plan=matvec_plan,
     )

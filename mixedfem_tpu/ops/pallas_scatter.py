@@ -183,3 +183,48 @@ def scatter_add_sorted(plan, vals_sorted: jnp.ndarray) -> jnp.ndarray:
         (plan.chunk, plan.W, nv_pad, d, nchunks),
     )
     return out[: plan.nv] if nv_pad > plan.nv else out
+
+
+def build_banded_scatter_plan(
+    seg_ids: np.ndarray, nv: int, chunk: int = 2048, lane: int = 128
+) -> ScatterPlan:
+    """Windowed plan WITHOUT sorting: rows are consumed in their natural
+    (element) order. Requires a banded row order — elements sorted by min
+    vertex (see mesh build / parallel/reorder.py) — so that each chunk's
+    destinations span a small window (~mesh bandwidth + chunk extent).
+    Compared to the sorted plan this removes the runtime permutation
+    entirely: the producer's element-order output IS the kernel input."""
+    seg_ids = np.asarray(seg_ids, np.int64)
+    R = len(seg_ids)
+    Rp = ((R + chunk - 1) // chunk) * chunk
+    nchunks = Rp // chunk
+    pad = Rp - R
+    ids_p = np.concatenate([seg_ids, np.full(pad, seg_ids[-1] if R else 0)])
+
+    win_start = np.empty(nchunks, np.int32)
+    W = 0
+    for c in range(nchunks):
+        ids = ids_p[c * chunk : (c + 1) * chunk]
+        v0 = (int(ids.min()) // lane) * lane
+        win_start[c] = v0
+        W = max(W, int(ids.max() - v0) + 1)
+    W = ((W + lane - 1) // lane) * lane
+    nv_pad = ((max(nv, W) + lane - 1) // lane) * lane
+    win_start = np.minimum(win_start, nv_pad - W).astype(np.int32)
+    lidx = np.empty(Rp, np.int32)
+    for c in range(nchunks):
+        lo = c * chunk
+        lidx[lo : lo + chunk] = (ids_p[lo : lo + chunk] - win_start[c]).astype(
+            np.int32
+        )
+    assert lidx.min() >= 0 and lidx.max() < W
+    assert (win_start % lane == 0).all()
+    return ScatterPlan(
+        perm=jnp.arange(Rp, dtype=jnp.int32),  # identity (rows unpermuted)
+        lidx=jnp.asarray(lidx),
+        win_start=jnp.asarray(win_start // lane),  # LANE UNITS
+        nrows=R,
+        chunk=chunk,
+        W=W,
+        nv=nv,
+    )

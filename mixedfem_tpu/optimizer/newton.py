@@ -351,10 +351,15 @@ def newton_step(
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
         # (mass + element blocks fused into one gather/scatter pass)
         use_plan = matvec_plan is not None and not mesh.shell
+        plan_fn = (
+            opmod.banded_matvec
+            if isinstance(matvec_plan, opmod.BandedPlan)
+            else opmod.gather_matvec
+        )
 
         def A(p):
             if use_plan:
-                out = opmod.gather_matvec(
+                out = plan_fn(
                     mesh,
                     matvec_plan,
                     p,

@@ -261,3 +261,102 @@ def gather_matvec(
     )
     out = jnp.sum(rows[plan.adj], axis=1)                # (nv, Dmax, d) -> sum
     return meshmod.project_free(mesh, out)
+
+
+# ---------------------------------------------------------------------------
+# Banded matvec: element-order windowed scatter (zero runtime permutation).
+#
+# With ELEMENTS sorted by min vertex (a free static reorder at mesh build,
+# see sort_elements_banded), the contribution rows emitted in natural
+# element order already target per-chunk vertex windows of ~bandwidth
+# width. The MXU one-hot windowed kernel then replaces XLA's scatter with
+# no gathers or permutations added anywhere.
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class BandedPlan:
+    lidx: jnp.ndarray
+    win_start: jnp.ndarray
+    nrows: int = flax.struct.field(pytree_node=False)
+    chunk: int = flax.struct.field(pytree_node=False)
+    W: int = flax.struct.field(pytree_node=False)
+    nv: int = flax.struct.field(pytree_node=False)
+
+
+def sort_elements_banded(T: np.ndarray):
+    """Element permutation sorting by min vertex id (apply to ALL
+    per-element arrays before build_mesh_data for banded assembly)."""
+    T = np.asarray(T)
+    return np.argsort(T.min(axis=1), kind="stable")
+
+
+def build_banded_plan(mesh: meshmod.MeshData, chunk: int = 2048) -> BandedPlan:
+    from mixedfem_tpu.ops import pallas_scatter as psc
+
+    T = np.asarray(mesh.T)
+    base = psc.build_banded_scatter_plan(T.reshape(-1), mesh.nv, chunk=chunk)
+    return BandedPlan(
+        lidx=base.lidx,
+        win_start=base.win_start,
+        nrows=base.nrows,
+        chunk=base.chunk,
+        W=base.W,
+        nv=base.nv,
+    )
+
+
+def banded_matvec(
+    mesh: meshmod.MeshData,
+    plan: BandedPlan,
+    p: jnp.ndarray,
+    ms_coeffs: Optional[StretchCoeffs] = None,
+    v_coeffs: Optional[VanillaCoeffs] = None,
+) -> jnp.ndarray:
+    """element_matvec with the scatter replaced by the element-order
+    windowed kernel (requires banded element ordering)."""
+    from mixedfem_tpu.ops import pallas_scatter as psc
+
+    E, k = mesh.T.shape
+    d = mesh.dim
+    p = meshmod.project_free(mesh, p)
+    pe = p[mesh.T]
+
+    out_e = jnp.einsum("ekl,eld->ekd", mesh.mass_coeff, pe)
+    if ms_coeffs is not None:
+        Gw = ms_coeffs.Gw
+        N = Gw.shape[1]
+        q = jnp.stack(
+            [
+                sum(
+                    Gw[:, i, kk, r] * pe[:, kk, r]
+                    for kk in range(k)
+                    for r in range(d)
+                )
+                for i in range(N)
+            ],
+            axis=-1,
+        )
+        cols = []
+        for kk in range(k):
+            for r in range(d):
+                acc = Gw[:, 0, kk, r] * q[:, 0]
+                for i in range(1, N):
+                    acc = acc + Gw[:, i, kk, r] * q[:, i]
+                cols.append(acc)
+        out_e = out_e + jnp.stack(cols, axis=-1).reshape(E, k, d)
+    if v_coeffs is not None:
+        dF = jnp.einsum("ekr,ekc->erc", pe, mesh.dphidX)
+        y = jnp.einsum(
+            "eab,eb->ea", v_coeffs.H, dF.reshape(dF.shape[0], d * d)
+        ).reshape(dF.shape)
+        out_e = out_e + jnp.einsum("ekc,erc->ekr", mesh.dphidX, y)
+
+    rows = out_e.reshape(E * k, d)
+    Rp = plan.lidx.shape[0]
+    if Rp > E * k:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((Rp - E * k, d), rows.dtype)], axis=0
+        )
+    out = psc.scatter_add_sorted(plan, rows)
+    return meshmod.project_free(mesh, out)
