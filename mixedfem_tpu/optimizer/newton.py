@@ -299,6 +299,31 @@ def newton_step(
         x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
 
         # --- update_system: rotations, derivatives (mixed_stretch.update)
+        # Banded Pallas assembly for the once-per-Newton scatters too
+        # (inertia gradient, rhs, block-Jacobi blocks) when a plan exists.
+        use_bassemble = (
+            isinstance(matvec_plan, opmod.BandedPlan)
+            and not mesh.shell
+            and not hp
+        )
+        if use_bassemble:
+            from mixedfem_tpu.ops import pallas_scatter as psc
+
+            _Ekk = mesh.T.shape[0] * mesh.T.shape[1]
+            _Rp = matvec_plan.lidx.shape[0]
+
+            def bassemble(contrib):
+                rows = contrib.reshape(_Ekk, -1)
+                if _Rp > _Ekk:
+                    rows = jnp.concatenate(
+                        [
+                            rows,
+                            jnp.zeros((_Rp - _Ekk, rows.shape[1]), rows.dtype),
+                        ],
+                        axis=0,
+                    )
+                return psc.scatter_add_sorted(matvec_plan, rows)
+
         eye = jnp.eye(mesh.dim, dtype=dtype)
         if hp:
             x64 = x.astype(jnp.float64)
@@ -308,6 +333,16 @@ def newton_step(
             )
             inertia_grad = inertia_grad64.astype(dtype)
             b64 = -inertia_grad64
+        elif use_bassemble:
+            inertia_grad = meshmod.project_free(
+                mesh,
+                bassemble(
+                    disp.gradient_contrib(
+                        mesh, state.bdf, x, blend=config.inertia_blend_factor
+                    )
+                ),
+            )
+            b = -inertia_grad
         else:
             inertia_grad = disp.gradient(
                 mesh, state.bdf, x, blend=config.inertia_blend_factor
@@ -324,8 +359,18 @@ def newton_step(
                 b64 = b64 + ms.rhs(mesh_hp, coeffs_hp, s64)
             else:
                 coeffs = ms.update(mesh, x, s, dt)
-                b = b + ms.rhs(mesh, coeffs, s)
-            blocks = blocks + ms.diag_blocks(mesh, coeffs)
+                if use_bassemble:
+                    b = b + meshmod.project_free(
+                        mesh, bassemble(ms.rhs_contrib(mesh, coeffs, s))
+                    )
+                else:
+                    b = b + ms.rhs(mesh, coeffs, s)
+            if use_bassemble and not hp:
+                blocks = blocks + bassemble(
+                    ms.diag_blocks_contrib(mesh, coeffs)
+                ).reshape(mesh.nv, mesh.dim, mesh.dim)
+            else:
+                blocks = blocks + ms.diag_blocks(mesh, coeffs)
         if hp:
             b = b64.astype(dtype)
         if use_vanilla:

@@ -22,9 +22,16 @@ def target(mesh: meshmod.MeshData, bdf: bdfmod.BDFState, blend: float = 1.0):
 
 
 def energy(mesh: meshmod.MeshData, bdf: bdfmod.BDFState, x: jnp.ndarray):
-    """1/2 ||x - x_tilde - dt^2 f||^2_M over ALL dofs (displacement.cpp:21-31)."""
+    """1/2 ||x - x_tilde - dt^2 f||^2_M over ALL dofs (displacement.cpp:21-31).
+
+    Element-level reduction (sum_e diff_e^T Mc_e diff_e — assembly is
+    additive, so this equals diff^T M diff exactly): no scatter, which
+    matters because the line search evaluates this per trial point."""
     diff = x - target(mesh, bdf, blend=1.0)
-    return 0.5 * jnp.sum(diff * meshmod.mass_matvec(mesh, diff))
+    de = diff[mesh.T]
+    return 0.5 * jnp.sum(
+        jnp.einsum("ekd,ekl,eld->e", de, mesh.mass_coeff, de)
+    )
 
 
 def gradient(
@@ -33,6 +40,16 @@ def gradient(
     """Masked inertia gradient P M (x - x_tilde - dt^2 blend f)."""
     diff = x - target(mesh, bdf, blend)
     return meshmod.project_free(mesh, meshmod.mass_matvec(mesh, diff))
+
+
+def gradient_contrib(
+    mesh: meshmod.MeshData, bdf: bdfmod.BDFState, x: jnp.ndarray, blend: float = 1.0
+):
+    """Per-element-corner contributions of M (x - target): (E, k, d).
+    Assemble + mask to obtain gradient() (used by the banded Pallas
+    assembly path in optimizer/newton.py)."""
+    diff = x - target(mesh, bdf, blend)
+    return jnp.einsum("ekl,eld->ekd", mesh.mass_coeff, diff[mesh.T])
 
 
 def matvec(mesh: meshmod.MeshData, p: jnp.ndarray):

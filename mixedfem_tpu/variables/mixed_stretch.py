@@ -101,10 +101,15 @@ def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
     )
 
 
+def rhs_contrib(mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray):
+    """Per-element-corner rhs contributions (E, k, d) (pre-assembly)."""
+    y = jnp.einsum("eij,ej->ei", c.H, c.Sv - s) + c.g       # (E, N)
+    return -jnp.einsum("eikr,ei,e->ekr", c.G, y, mesh.vols)
+
+
 def rhs(mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray):
     """Condensed-system right-hand side (nv, d), zero at pinned vertices."""
-    y = jnp.einsum("eij,ej->ei", c.H, c.Sv - s) + c.g       # (E, N)
-    contrib = -jnp.einsum("eikr,ei,e->ekr", c.G, y, mesh.vols)
+    contrib = rhs_contrib(mesh, c, s)
     out = jax.ops.segment_sum(
         contrib.reshape(-1, mesh.dim), mesh.T.reshape(-1), num_segments=mesh.nv
     )
@@ -124,10 +129,15 @@ def matvec(mesh: meshmod.MeshData, c: StretchCoeffs, p: jnp.ndarray):
     return meshmod.project_free(mesh, out)
 
 
+def diag_blocks_contrib(mesh: meshmod.MeshData, c: StretchCoeffs):
+    """Per-corner (d, d) diagonal-block contributions (E, k, d, d)."""
+    return jnp.einsum("eikr,eiks->ekrs", c.Gw, c.Gw)
+
+
 def diag_blocks(mesh: meshmod.MeshData, c: StretchCoeffs):
     """Per-vertex (d, d) diagonal blocks of the stretch stiffness, for the
     block-Jacobi preconditioner (reference: preconditioners/block_jacobi.h)."""
-    B = jnp.einsum("eikr,eiks->ekrs", c.Gw, c.Gw)
+    B = diag_blocks_contrib(mesh, c)
     return jax.ops.segment_sum(
         B.reshape(-1, mesh.dim, mesh.dim),
         mesh.T.reshape(-1),

@@ -225,3 +225,35 @@ class TestPlannedMatvec:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-10
         )
+
+    def test_banded_step_matches_default(self):
+        """Full newton_step with the banded Pallas assembly plan (matvec +
+        rhs + inertia + block-Jacobi blocks) == the XLA-scatter step."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from mixedfem_tpu.config import SimConfig
+        from mixedfem_tpu.optimizer import newton
+        from mixedfem_tpu.solvers import operator as opmod
+
+        from tests.test_newton import small_beam, make_state
+
+        mesh, V = small_beam(4, 2, 2)
+        perm = opmod.sort_elements_banded(np.asarray(mesh.T))
+        mesh = mesh.replace(
+            T=mesh.T[perm], dphidX=mesh.dphidX[perm], vols=mesh.vols[perm],
+            mass_coeff=mesh.mass_coeff[perm], mu=mesh.mu[perm],
+            lam=mesh.lam[perm], model_id=mesh.model_id[perm],
+        )
+        config = SimConfig(
+            h=0.02, outer_steps=3, itr_tol=1e-11,
+            max_iterative_solver_iters=5000,
+            mixed_variables=("mixed-stretch",), dtype="float64",
+        )
+        state = make_state(mesh, config)
+        ref = newton.newton_step(mesh, config, (), state)
+        plan = opmod.build_banded_plan(mesh, chunk=256)
+        with pltpu.force_tpu_interpret_mode():
+            out = newton.newton_step(mesh, config, (), state, None, (), plan)
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(ref.x), atol=1e-10
+        )
