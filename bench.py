@@ -136,6 +136,45 @@ def stage_breakdown(mesh, config, state, coarse=None, reps=5):
     return out
 
 
+def flop_byte_estimate(ntets, newton_iters, cg_total):
+    """Analytic useful-work accounting for the flagship step (documented
+    per-term; the honest MFU denominator is the v5e bf16 MXU peak since
+    f32 matmuls execute as bf16 passes).
+
+    Per-element flop counts (mixed-stretch tets, N=6, k=4, d=3):
+      matvec    q=GwPe (72 MAC) + emission (72) + mass (48) = 384 flops
+      update    batched Jacobi eigensolve + polar + dsdF + material
+                derivatives + PSD fix                      ~ 4600 flops
+      assembly  rhs + diag blocks + Gw build               ~ 1200 flops
+      linesearch energy (F rebuild + polar + psi) per eval ~ 1600 flops
+    HBM bytes: each matvec streams Gw (N*k*d) + mass (k*k) + indices
+    (2k int32) per element + CG vector traffic."""
+    E = ntets
+    n_mv = cg_total + newton_iters          # +1 matvec per solve for r0
+    flops = (
+        n_mv * 384 * E
+        + newton_iters * (4600 + 1200) * E
+        + 2 * newton_iters * 1600 * E
+    )
+    bytes_hbm = n_mv * E * 4 * (6 * 4 * 3 + 4 * 4 + 8) + n_mv * 64 * E
+    return flops, bytes_hbm
+
+
+def _make_plan(mesh):
+    """Production matvec plan: the fused brick kernel (ops/brick.py) when
+    the banded window fits, else the banded windowed-scatter path."""
+    import jax
+    import numpy as np
+
+    if jax.default_backend() == "cpu":
+        return None
+    from mixedfem_tpu.ops.brick import build_brick_plan
+    from mixedfem_tpu.solvers.operator import build_banded_plan
+
+    plan = build_brick_plan(np.asarray(mesh.T), mesh.nv, ce=512)
+    return plan if plan is not None else build_banded_plan(mesh)
+
+
 def main():
     import argparse
 
@@ -164,9 +203,7 @@ def main():
     from mixedfem_tpu.solvers.operator import build_banded_plan
 
     mesh, config, state, ntets = build(40, 25, 20, "float32")  # 100k tets
-    plan = (
-        build_banded_plan(mesh) if jax.default_backend() != "cpu" else None
-    )
+    plan = _make_plan(mesh)
     cs = build_coarse_space(
         np.asarray(mesh.V0),
         np.asarray(mesh.T),
@@ -187,6 +224,24 @@ def main():
     extras["newton_iters"] = it
     extras["cg_iters_per_newton"] = [int(c) for c in cg]
 
+    # analytic useful-work accounting (VERDICT r2: report MFU/flops)
+    flops, bytes_hbm = flop_byte_estimate(ntets, it, int(sum(cg)))
+    extras["useful_gflop_per_step"] = round(flops / 1e9, 2)
+    extras["achieved_gflops"] = round(flops / (ms_100k / 1e3) / 1e9, 1)
+    # v5e bf16 MXU peak 197 TFLOPS (f32 matmuls run as bf16 passes)
+    extras["mfu_pct_bf16_peak"] = round(
+        flops / (ms_100k / 1e3) / 197e12 * 100, 3
+    )
+    extras["hbm_gb_per_step"] = round(bytes_hbm / 1e9, 2)
+    extras["achieved_hbm_gbps"] = round(
+        bytes_hbm / (ms_100k / 1e3) / 1e9, 1
+    )
+    extras["bound_note"] = (
+        "FEM SpMV/assembly is irregular-memory-bound, not FLOP-bound: "
+        "MFU is structurally low; the relevant ceilings are the gather/"
+        "scatter row rate and HBM bandwidth"
+    )
+
     # 10k tets accelerator vs CPU for vs_baseline (same solver config both)
     mesh, config, state, nt10 = build(20, 10, 10, "float32")  # 10k tets
     cs10 = build_coarse_space(
@@ -199,9 +254,7 @@ def main():
     state = state.replace(
         precond=jnp.zeros((cs10.ncd, cs10.ncd), jnp.float32)
     )
-    plan10 = (
-        build_banded_plan(mesh) if jax.default_backend() != "cpu" else None
-    )
+    plan10 = _make_plan(mesh)
     ms_10k, _, _, _ = time_steps(
         mesh, config, state, n_steps=5, coarse=cs10, plan=plan10
     )

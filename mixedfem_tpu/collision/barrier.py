@@ -27,17 +27,20 @@ def barrier(t, t_hat):
 
 
 def barrier_gradient(t, t_hat):
-    """db/dt."""
+    """db/dt. t is clamped to >= 1e-8 t_hat inside the 1/t terms: below
+    that, t*t underflows f32 and the derivative overflows to inf, which
+    then poisons masked frames via inf * 0 = NaN. The clamp only acts at
+    distances < 1e-4 dhat where the barrier force is enormous either way."""
     ok = jnp.logical_and(t > 0, t < t_hat)
-    ts = jnp.where(ok, t, t_hat)
+    ts = jnp.where(ok, jnp.maximum(t, 1e-8 * t_hat), t_hat)
     val = -2.0 * (ts - t_hat) * jnp.log(ts / t_hat) - (ts - t_hat) ** 2 / ts
     return jnp.where(ok, val, 0.0)
 
 
 def barrier_hessian(t, t_hat):
-    """d2b/dt2."""
+    """d2b/dt2 (same relative clamp as barrier_gradient)."""
     ok = jnp.logical_and(t > 0, t < t_hat)
-    ts = jnp.where(ok, t, t_hat)
+    ts = jnp.where(ok, jnp.maximum(t, 1e-8 * t_hat), t_hat)
     val = (
         -2.0 * jnp.log(ts / t_hat)
         - 4.0 * (ts - t_hat) / ts

@@ -76,6 +76,9 @@ class SimConfig:
     # rebuild the two-level coarse preconditioner every N steps (it only
     # affects CG iteration counts; staleness across a few steps is benign)
     coarse_refresh_every: int = 1
+    # "newton-schulz": matmul-only coarse inverse (MXU; warm-started from
+    # the cached inverse). "lu": jnp.linalg.inv (exact, slow on TPU).
+    coarse_inverse_method: str = "newton-schulz"
     max_iterative_solver_iters: int = 500
     itr_tol: float = 1e-4
 
@@ -93,6 +96,18 @@ class SimConfig:
     # cancellation in the force balance) down to ~1e-7+. Requires
     # jax_enable_x64; no-op for dtype='float64'.
     rhs_precision: str = "native"
+    # Line-search acceptance: False (default) accepts trial energies within
+    # the floating-point rounding band Ea < E + 16 eps |E| (needed so f32
+    # Newton can contract past the merit's rounding noise; in f64 the band
+    # is ~3.6e-15 relative — indistinguishable from strict). True uses the
+    # reference's exact rule E(a) < E(0) (linesearch.h:104-109).
+    ls_strict: bool = False
+    # Warm-started Newton-Procrustes rotations: carry per-element R across
+    # Newton iterations / steps as the polar seed (temporal branch tracking
+    # through inversion, matching the reference's R_ cache). Off by default:
+    # the stateless branch-free SVD is cheaper and equivalent away from
+    # inversion.
+    rotation_warm_start: bool = False
 
     show_data: bool = True
     show_timing: bool = True

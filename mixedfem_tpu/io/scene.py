@@ -61,7 +61,9 @@ class Simulation:
         return out
 
     def _one_step(self) -> SimState:
-        if self.config.solver == "direct":
+        from mixedfem_tpu.solvers.factory import resolve_solver
+
+        if resolve_solver(self.config.solver) == "direct":
             from mixedfem_tpu.optimizer.newton_direct import newton_step_direct
 
             return newton_step_direct(

@@ -118,6 +118,10 @@ def _make_kernel(W: int, nv_pad: int, chunk: int, d: int):
             vals, oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=vals.dtype,
+            # DEFAULT precision lowers f32 MXU matmuls to single-pass bf16,
+            # rounding the scattered VALUES to 8 mantissa bits (~4e-3 rel).
+            # HIGHEST keeps the f32 algorithm; the one-hot side is exact.
+            precision=jax.lax.Precision.HIGHEST,
         )  # (d, W)
         # win_start is stored in LANE UNITS; multiplying by 128 here lets
         # Mosaic statically prove the lane-axis slice is 128-aligned

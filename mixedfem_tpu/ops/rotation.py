@@ -393,6 +393,72 @@ def polar(F: jnp.ndarray, dim: int, sweeps: int = 6):
     return polar22(F)
 
 
+def _rodrigues(w: jnp.ndarray) -> jnp.ndarray:
+    """exp of the cross-product matrix of w (..., 3) -> (..., 3, 3)."""
+    dt = w.dtype
+    th2 = jnp.sum(w * w, axis=-1)
+    th = jnp.sqrt(th2 + 1e-30)
+    a = jnp.where(th2 > 1e-24, jnp.sin(th) / th, 1.0 - th2 / 6.0)
+    b = jnp.where(
+        th2 > 1e-24, (1.0 - jnp.cos(th)) / jnp.maximum(th2, 1e-30),
+        0.5 - th2 / 24.0,
+    )
+    z = jnp.zeros_like(w[..., 0])
+    K = jnp.stack(
+        [
+            jnp.stack([z, -w[..., 2], w[..., 1]], axis=-1),
+            jnp.stack([w[..., 2], z, -w[..., 0]], axis=-1),
+            jnp.stack([-w[..., 1], w[..., 0], z], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.eye(3, dtype=dt)
+    KK = jnp.einsum("...ik,...kj->...ij", K, K)
+    return eye + a[..., None, None] * K + b[..., None, None] * KK
+
+
+def polar_warm(F: jnp.ndarray, R0: jnp.ndarray, iters: int = 5):
+    """Warm-started Newton-Procrustes polar decomposition.
+
+    Fixed-count Newton iterations on SO(3) maximizing tr(R^T F), seeded at
+    the PREVIOUS iterate's rotation — this tracks a temporally-smooth
+    rotation branch through element inversion, where the stateless SVD's
+    smallest-singular-value sign convention can jump branches (reference:
+    src/svd/newton_procrustes.h:108-189, called warm from
+    mixed_stretch.cpp:18-53). Each step solves the 3-dof system
+
+      (tr(sym M) I - sym M) w = axial(M - M^T),   M = R^T F
+
+    and updates R <- R exp(w^). Returns (R, S = sym(R^T F))."""
+
+    def body(_, R):
+        M = jnp.einsum("...ki,...kj->...ij", R, F)
+        Ms = 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        a = jnp.stack(
+            [
+                M[..., 2, 1] - M[..., 1, 2],
+                M[..., 0, 2] - M[..., 2, 0],
+                M[..., 1, 0] - M[..., 0, 1],
+            ],
+            axis=-1,
+        )
+        tr = jnp.einsum("...ii->...", Ms)
+        H = tr[..., None, None] * jnp.eye(3, dtype=F.dtype) - Ms
+        Hinv = _sym_inv3(H, 1e-8)
+        w = jnp.einsum("...ij,...j->...i", Hinv, a)
+        # bounded step keeps the fixed-count iteration stable far from
+        # the optimum (the reference backtracks, newton_procrustes.h:145)
+        wn2 = jnp.sum(w * w, axis=-1, keepdims=True)
+        cap = jnp.asarray(2.4674011, F.dtype)  # (pi/2)^2
+        w = w * jnp.sqrt(jnp.minimum(1.0, cap / jnp.maximum(wn2, 1e-30)))
+        return jnp.einsum("...ik,...kj->...ij", R, _rodrigues(w))
+
+    R = jax.lax.fori_loop(0, iters, body, R0)
+    S = jnp.einsum("...ki,...kj->...ij", R, F)
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    return R, S
+
+
 def dsdF(R: jnp.ndarray, S: jnp.ndarray, dim: int):
     if dim == 3:
         return dsdF33(R, S)

@@ -29,6 +29,7 @@ from mixedfem_tpu.collision import accd as accdmod
 from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.ops import brick as brickmod
 from mixedfem_tpu.solvers import coarse as coarsemod
 from mixedfem_tpu.solvers import dual as dualmod
 from mixedfem_tpu.solvers import factory as solver_factory
@@ -74,6 +75,11 @@ class SimState:
     precond: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.zeros((0, 0))
     )
+    # per-element rotation cache (E, 3, 3) when
+    # config.rotation_warm_start; (0, 3, 3) otherwise
+    R: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((0, 3, 3))
+    )
 
 
 def empty_contact(dtype, capacity: int = 0) -> ContactFrames:
@@ -108,7 +114,15 @@ def init_state(
 ) -> SimState:
     s0, la0 = ms.reset(mesh, x0)
     bdf = bdfmod.bdf_init(config.integrator, x0, v0, config.h)
+    R0 = jnp.zeros((0, 3, 3), x0.dtype)
+    if (
+        config.rotation_warm_start
+        and mesh.dim == 3
+        and "mixed-stretch" in config.mixed_variables
+    ):
+        _, R0 = ms.stretch_of_x(mesh, x0)
     return SimState(
+        R=R0,
         x=x0,
         s=s0,
         la=la0,
@@ -203,20 +217,29 @@ def newton_step(
     if solver in ("minres-kkt", "dual-cg"):
         if not use_mixed:
             raise NotImplementedError(f"{solver} requires mixed-stretch")
-        if use_vanilla or use_contact or use_vcollision or use_friction:
+        if solver == "dual-cg" and (use_vanilla or use_friction or use_vcollision):
+            # The dual Schur eliminates dx through the LUMPED mass alone
+            # (linear_system.h:131-134); nodal Hessians (vanilla stretch /
+            # friction) cannot be folded into that elimination. The
+            # reference has the same structural restriction.
             raise NotImplementedError(
-                f"{solver} supports mixed-stretch-only systems (the "
-                "reference's SystemMatrixIndefinite/DualCondensedSystem "
-                "contact products are served by the condensed 'pcg' path)"
+                "dual-cg eliminates dx via the lumped mass; nodal-Hessian "
+                "variables (stretch/friction) need 'pcg' or 'minres-kkt'"
             )
 
     # f64 islands for the cancellation-limited pieces (config.rhs_precision)
     hp = config.rhs_precision == "float64" and dtype != jnp.float64
     if hp:
-        if use_contact or use_vcollision or use_friction:
+        if use_vcollision or use_friction:
             raise NotImplementedError(
-                "rhs_precision='float64' currently supports contact-free "
-                "systems (the flagship beam/elasticity path)"
+                "rhs_precision='float64' covers the mixed variables "
+                "(stretch + mixed contact); nodal collision/friction "
+                "variables run f32 — use dtype='float64' for those"
+            )
+        if solver not in ("pcg", "pcg-block-jacobi", "pcg-diag"):
+            raise NotImplementedError(
+                "rhs_precision='float64' is implemented for the condensed "
+                "pcg paths (use dtype='float64' for the full-KKT paths)"
             )
         if not jax.config.jax_enable_x64:
             raise ValueError(
@@ -272,9 +295,17 @@ def newton_step(
                     ee_mollifier=config.ee_mollifier,
                 )
                 contact0 = (cf.frames, cc0.Gx, cc0.H, cc0.active)
-            return coarsemod.coarse_inverse(
-                coarsemod.coarse_matrix(mesh, coarse, coeffs0, contact0)
-            )
+            Ac = coarsemod.coarse_matrix(mesh, coarse, coeffs0, contact0)
+            if config.coarse_inverse_method == "newton-schulz":
+                # warm start from the cached inverse when one exists (the
+                # spectral safeguard inside rejects stale/zero caches)
+                X0 = (
+                    state.precond
+                    if state.precond.shape[0] == coarse.ncd
+                    else None
+                )
+                return coarsemod.coarse_inverse_ns(Ac, X0)
+            return coarsemod.coarse_inverse(Ac)
 
         if refresh_every > 1 and state.precond.shape[0] == coarse.ncd:
             Ac_inv = jax.lax.cond(
@@ -288,25 +319,48 @@ def newton_step(
             if refresh_every > 1:
                 precond_out = Ac_inv
 
+    warm_R = (
+        config.rotation_warm_start
+        and use_mixed
+        and mesh.dim == 3
+        and state.R.shape[0] == mesh.T.shape[0]
+    )
+
     def newton_cond(carry):
-        x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
+        x, s, la, cd, cla, cact, it, E_prev, dec, res, stats, Rcur = carry
         return jnp.logical_and(
             it < outer,
             jnp.logical_and(dec > config.newton_tol, res > 1e-12),
         )
 
     def newton_body(carry):
-        x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = carry
+        x, s, la, cd, cla, cact, it, E_prev, dec, res, stats, Rcur = carry
 
         # --- update_system: rotations, derivatives (mixed_stretch.update)
         # Banded Pallas assembly for the once-per-Newton scatters too
         # (inertia gradient, rhs, block-Jacobi blocks) when a plan exists.
         use_bassemble = (
-            isinstance(matvec_plan, opmod.BandedPlan)
+            isinstance(matvec_plan, (opmod.BandedPlan, brickmod.BrickPlan))
             and not mesh.shell
             and not hp
         )
-        if use_bassemble:
+        if isinstance(matvec_plan, brickmod.BrickPlan):
+            _E, _k = mesh.T.shape
+
+            def bassemble(contrib):
+                """(E, k, ...) corner contributions -> (nv, ...) via the
+                fused windowed brick scatter."""
+                m = 1
+                for sdim in contrib.shape[2:]:
+                    m *= sdim
+                out = brickmod.from_brick(
+                    brickmod.brick_scatter(
+                        matvec_plan, contrib.reshape(_E, _k, m)
+                    ),
+                    mesh.nv, m,
+                )
+                return out.reshape((mesh.nv,) + contrib.shape[2:])
+        elif use_bassemble:
             from mixedfem_tpu.ops import pallas_scatter as psc
 
             _Ekk = mesh.T.shape[0] * mesh.T.shape[1]
@@ -352,13 +406,18 @@ def newton_step(
 
         if use_mixed:
             if hp:
-                coeffs_hp = ms.update(mesh_hp, x64, s64, dt)
+                coeffs_hp = ms.update(
+                    mesh_hp, x64, s64, dt,
+                    R_prev=Rcur.astype(jnp.float64) if warm_R else None,
+                )
                 coeffs = jax.tree.map(
                     lambda a: a.astype(dtype), coeffs_hp
                 )
                 b64 = b64 + ms.rhs(mesh_hp, coeffs_hp, s64)
             else:
-                coeffs = ms.update(mesh, x, s, dt)
+                coeffs = ms.update(
+                    mesh, x, s, dt, R_prev=Rcur if warm_R else None
+                )
                 if use_bassemble:
                     b = b + meshmod.project_free(
                         mesh, bassemble(ms.rhs_contrib(mesh, coeffs, s))
@@ -371,6 +430,23 @@ def newton_step(
                 ).reshape(mesh.nv, mesh.dim, mesh.dim)
             else:
                 blocks = blocks + ms.diag_blocks(mesh, coeffs)
+        if use_contact and hp:
+            # f64 island for the contact rhs/local-solve: the barrier g/H
+            # and the D - d residual are the cancellation-limited pieces
+            # (the reference runs the whole contact solve in f64,
+            # mixed_collision.cpp:216-323)
+            ccoeffs_hp = mc.update(
+                mesh_hp, cf, x64,
+                cd.astype(jnp.float64), cla.astype(jnp.float64),
+                cact.astype(jnp.float64), dhat, kappa,
+                ee_mollifier=config.ee_mollifier,
+            )
+            ccoeffs = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                ccoeffs_hp,
+            )
+            b64 = b64 + mc.rhs(mesh_hp, cf, ccoeffs_hp)
         if hp:
             b = b64.astype(dtype)
         if use_vanilla:
@@ -378,11 +454,12 @@ def newton_step(
             b = b - vstretch.gradient(mesh, vcoeffs)
             blocks = blocks + vstretch.diag_blocks(mesh, vcoeffs)
         if use_contact:
-            ccoeffs = mc.update(
-                mesh, cf, x, cd, cla, cact, dhat, kappa,
-                ee_mollifier=config.ee_mollifier,
-            )
-            b = b + mc.rhs(mesh, cf, ccoeffs)
+            if not hp:
+                ccoeffs = mc.update(
+                    mesh, cf, x, cd, cla, cact, dhat, kappa,
+                    ee_mollifier=config.ee_mollifier,
+                )
+                b = b + mc.rhs(mesh, cf, ccoeffs)
             blocks = blocks + mc.diag_blocks(mesh, cf, ccoeffs)
         if use_vcollision:
             vccoeffs = vcol.update(cf, x, dhat, kappa)
@@ -395,15 +472,51 @@ def newton_step(
 
         # --- matrix-free condensed SPD operator + block-Jacobi preconditioner
         # (mass + element blocks fused into one gather/scatter pass)
-        use_plan = matvec_plan is not None and not mesh.shell
+        use_brick = (
+            isinstance(matvec_plan, brickmod.BrickPlan)
+            and use_mixed
+            and not use_vanilla
+            and not mesh.shell
+        )
+        use_plan = (
+            matvec_plan is not None and not mesh.shell and not use_brick
+        )
         plan_fn = (
             opmod.banded_matvec
             if isinstance(matvec_plan, opmod.BandedPlan)
             else opmod.gather_matvec
         )
 
+        def _extra_matvec(p):
+            out = None
+            if use_contact:
+                out = mc.matvec(mesh, cf, ccoeffs, p)
+            if use_vcollision:
+                y = vcol.matvec(mesh, cf, vccoeffs, p)
+                out = y if out is None else out + y
+            if use_friction:
+                y = fric.matvec(mesh, ffr, fcoeffs, p)
+                out = y if out is None else out + y
+            return out
+
+        if use_brick:
+            # the fused single-kernel CG matvec (ops/brick.py): the whole
+            # gather->block-product->scatter runs as ONE Pallas program on
+            # brick-layout vectors
+            Gw_rows, m_rows = brickmod.element_rows(mesh, coeffs)
+            Gw_rows = brickmod.pad_rows(matvec_plan, Gw_rows)
+            m_rows = brickmod.pad_rows(matvec_plan, m_rows)
+
         def A(p):
-            if use_plan:
+            if use_brick:
+                out = brickmod.from_brick(
+                    brickmod.brick_matvec(
+                        matvec_plan, Gw_rows, m_rows,
+                        brickmod.to_brick(p, matvec_plan.Hpad), mesh.dim,
+                    ),
+                    mesh.nv, mesh.dim,
+                ) * mesh.free_mask[:, None]
+            elif use_plan:
                 out = plan_fn(
                     mesh,
                     matvec_plan,
@@ -418,12 +531,9 @@ def newton_step(
                     ms_coeffs=coeffs if use_mixed else None,
                     v_coeffs=vcoeffs if use_vanilla else None,
                 )
-            if use_contact:
-                out = out + mc.matvec(mesh, cf, ccoeffs, p)
-            if use_vcollision:
-                out = out + vcol.matvec(mesh, cf, vccoeffs, p)
-            if use_friction:
-                out = out + fric.matvec(mesh, ffr, fcoeffs, p)
+            extra = _extra_matvec(p)
+            if extra is not None:
+                out = out + extra
             return out
 
         if solver in ("pcg", "pcg-block-jacobi", "pcg-diag"):
@@ -469,29 +579,67 @@ def newton_step(
                     ds64 = jnp.zeros_like(s64)
                     la64 = la.astype(jnp.float64)
         else:
-            # Full-system paths: (dx, ds, dlam) solved together — the
-            # reference's SystemMatrixIndefinite (minres-indefinite-*) and
-            # DualCondensedSystem (subspace-*) post_solve unpacking.
+            # Full-system paths: (dx, ds, dlam[, dd, dlc]) solved together —
+            # the reference's SystemMatrixIndefinite (minres-indefinite-*)
+            # and DualCondensedSystem (subspace-*) post_solve unpacking,
+            # with MixedCollision stacked into the system when present
+            # (linear_system.h:65-118 stacks ALL mixed variables).
+            kkt_cf = cf if use_contact else None
+            kkt_cc = ccoeffs if use_contact else None
+            extra_gx = None
+            extra_mv = None
+            if use_vanilla or use_vcollision or use_friction:
+                gx = jnp.zeros_like(x)
+                if use_vanilla:
+                    gx = gx + vstretch.gradient(mesh, vcoeffs)
+                if use_vcollision:
+                    gx = gx + vcol.gradient(mesh, cf, vccoeffs)
+                if use_friction:
+                    gx = gx + fric.gradient(mesh, ffr, fcoeffs)
+                extra_gx = gx
+
+                def extra_mv(p):
+                    out = jnp.zeros_like(p)
+                    if use_vanilla:
+                        out = out + vstretch.matvec(mesh, vcoeffs, p)
+                    if use_vcollision:
+                        out = out + vcol.matvec(mesh, cf, vccoeffs, p)
+                    if use_friction:
+                        out = out + fric.matvec(mesh, ffr, fcoeffs, p)
+                    return out
+
             rhs_kkt = mrmod.kkt_rhs(
                 mesh, state.bdf, coeffs, x, s, la,
                 blend=config.inertia_blend_factor,
+                cf=kkt_cf, cc=kkt_cc, extra_grad_x=extra_gx,
             )
             if solver == "minres-kkt":
-                Aop = mrmod.kkt_operator(mesh, coeffs)
-                Mk = mrmod.kkt_block_diag_preconditioner(mesh, coeffs)
+                Aop = mrmod.kkt_operator(
+                    mesh, coeffs, cf=kkt_cf, cc=kkt_cc,
+                    extra_x_matvec=extra_mv,
+                )
+                Mk = mrmod.kkt_block_diag_preconditioner(
+                    mesh, coeffs, cf=kkt_cf, cc=kkt_cc
+                )
                 u0 = tuple(jax.tree.map(jnp.zeros_like, rhs_kkt))
-                (dx, ds, dl), cg_iters, cg_err = mrmod.minres(
+                sol, cg_iters, cg_err = mrmod.minres(
                     Aop, rhs_kkt, u0,
                     max_iters=config.max_iterative_solver_iters,
                     tol=config.itr_tol,
                     Minv=Mk,
                 )
             else:  # dual-cg
-                dx, ds, dl, cg_iters, cg_err = dualmod.solve_dual(
+                sol_all = dualmod.solve_dual(
                     mesh, coeffs, rhs_kkt,
                     max_iters=config.max_iterative_solver_iters,
                     tol=config.itr_tol,
+                    cf=kkt_cf, cc=kkt_cc,
                 )
+                sol, cg_iters, cg_err = sol_all[:-2], sol_all[-2], sol_all[-1]
+            if use_contact:
+                dx, ds, dl, kkt_dd, kkt_dlc = sol
+            else:
+                dx, ds, dl = sol
             la_new = la + dl
 
         if use_mixed:
@@ -499,7 +647,18 @@ def newton_step(
         else:
             dec_new = jnp.max(jnp.abs(dx))
         if use_contact:
-            cdd, cla_new = mc.local_solve(mesh, cf, ccoeffs, dx)
+            if solver in ("minres-kkt", "dual-cg"):
+                # full-system paths carry (dd, dlc) as unknowns — unpack
+                # them directly (linear_system.h:89-100 post_solve)
+                cdd = kkt_dd * ccoeffs.active
+                cla_new = (ccoeffs.la + kkt_dlc) * ccoeffs.active
+            elif hp:
+                cdd64, cla64_new = mc.local_solve(
+                    mesh_hp, cf, ccoeffs_hp, dx.astype(jnp.float64)
+                )
+                cdd, cla_new = cdd64.astype(dtype), cla64_new.astype(dtype)
+            else:
+                cdd, cla_new = mc.local_solve(mesh, cf, ccoeffs, dx)
             cd_cur, cact_new = ccoeffs.d, ccoeffs.active
             dec_new = jnp.maximum(dec_new, jnp.max(jnp.abs(cdd)))
         else:
@@ -527,10 +686,17 @@ def newton_step(
             dx64 = dx.astype(jnp.float64)
 
             def merit64(a):
-                return _total_energy(
+                e = _total_energy(
                     mesh_hp, bdf_hp, h2, x64 + a * dx64,
                     s64 + a * ds64, la64, use_mixed, use_vanilla,
                 )
+                if use_contact:
+                    e = e + mixed_contact_merit(
+                        cf, x64 + a * dx64, ccoeffs_hp.d + a * cdd64,
+                        cact_new, cla64_new, dhat, kappa, jnp.float64,
+                        mesh=mesh_hp, ee_mollifier=config.ee_mollifier,
+                    )
+                return e
 
             E64_full = merit64(jnp.zeros((), jnp.float64))
             E = E64_full.astype(dtype)
@@ -569,7 +735,13 @@ def newton_step(
                 Ea = merit64(a.astype(jnp.float64))
                 return jnp.logical_and(k < config.ls_iters, Ea >= E64_full)
         else:
-            eps_E = 16.0 * jnp.finfo(dtype).eps * jnp.abs(E)
+            # config.ls_strict recovers the reference-exact acceptance
+            # (tested against the f64 oracle in tests/test_newton.py::
+            # TestLineSearchAcceptance)
+            if config.ls_strict:
+                eps_E = jnp.zeros((), dtype)
+            else:
+                eps_E = 16.0 * jnp.finfo(dtype).eps * jnp.abs(E)
 
             def ls_cond(c):
                 a, k = c
@@ -601,9 +773,11 @@ def newton_step(
             vanilla_grad=stats.vanilla_grad.at[it].set(vg_norm),
             iterations=it + 1,
         )
+        if warm_R:
+            Rcur = coeffs.R.astype(dtype)
         return (
             x, s, la_new, cd_next, cla_new, cact_new,
-            it + 1, E, dec_new, res_new, stats,
+            it + 1, E, dec_new, res_new, stats, Rcur,
         )
 
     big = jnp.asarray(jnp.inf, dtype)
@@ -620,10 +794,10 @@ def newton_step(
         big,
         big,
         _empty_stats(outer, dtype),
+        state.R,
     )
-    x, s, la, cd, cla, cact, it, E_prev, dec, res, stats = jax.lax.while_loop(
-        newton_cond, newton_body, init
-    )
+    (x, s, la, cd, cla, cact, it, E_prev, dec, res, stats,
+     R_out) = jax.lax.while_loop(newton_cond, newton_body, init)
 
     # --- scripted Dirichlet BC motion (mesh update_bcs, meshes.cpp:188-208)
     V = x
@@ -651,4 +825,5 @@ def newton_step(
         step_count=state.step_count + 1,
         stats=stats,
         precond=precond_out,
+        R=R_out,
     )

@@ -8,8 +8,9 @@ per-element coefficient builds are eager JAX calls, the condensed SPD system
 is assembled into scipy CSR (solvers/direct.py) and solved exactly, and the
 line search/BC/BDF bookkeeping mirrors optimizer/newton.py step for step.
 
-Supports: mixed-stretch, vanilla stretch, mixed-collision (contact blocks).
-Vanilla collision and friction raise (use the 'pcg' production path).
+Supports the FULL variable set the reference's direct path does
+(linear_system.h:17-31): mixed-stretch, vanilla stretch, mixed-collision,
+vanilla collision, and lagged friction.
 """
 
 from __future__ import annotations
@@ -27,7 +28,9 @@ from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.optimizer import newton as newtonmod
 from mixedfem_tpu.solvers import direct as directmod
+from mixedfem_tpu.variables import collision as vcol
 from mixedfem_tpu.variables import displacement as disp
+from mixedfem_tpu.variables import friction as fric
 from mixedfem_tpu.variables import mixed_collision as mc
 from mixedfem_tpu.variables import mixed_stretch as ms
 from mixedfem_tpu.variables import stretch as vstretch
@@ -52,11 +55,8 @@ def newton_step_direct(
     cf = state.contact
     C = cf.frames.shape[0]
     use_contact = "mixed-collision" in config.mixed_variables and C > 0
-    if "collision" in config.variables or "friction" in config.variables:
-        raise NotImplementedError(
-            "direct solver supports mixed contact only; vanilla collision/"
-            "friction run through the 'pcg' path"
-        )
+    use_vcollision = "collision" in config.variables and C > 0
+    use_friction = "friction" in config.variables and C > 0
     dhat, kappa = config.dhat, config.kappa
 
     press_ext = jnp.zeros_like(state.x)
@@ -70,6 +70,11 @@ def newton_step_direct(
     cd = jnp.zeros((C,), dtype)
     cla = jnp.zeros((C,), dtype)
     cact = jnp.zeros((C,), dtype)
+
+    # Lagged friction set from the PRE-step positions (Friction::pre_solve)
+    if use_friction:
+        ffr = fric.build(mesh, cf, x, dhat, kappa)
+        epsv_h = config.espv * dt
 
     stats = newtonmod._empty_stats(outer, dtype)
     E_prev = np.inf
@@ -96,13 +101,24 @@ def newton_step_direct(
             )
             b = b + mc.rhs(mesh, cf, ccoeffs)
 
+        frame_hessians = []
+        if use_vcollision:
+            vccoeffs = vcol.update(cf, x, dhat, kappa)
+            b = b - vcol.gradient(mesh, cf, vccoeffs)
+            frame_hessians.append((cf.frames, vccoeffs.H))
+        if use_friction:
+            fcoeffs = fric.update(ffr, x, config.contact_mu, epsv_h)
+            b = b - fric.gradient(mesh, ffr, fcoeffs)
+            frame_hessians.append((ffr.frames, fcoeffs.H))
+
         contact_blocks = (
             (cf.frames, ccoeffs.Gx, ccoeffs.H, ccoeffs.active)
             if use_contact
             else None
         )
         A = directmod.assemble_condensed(
-            mesh, coeffs, contact=contact_blocks, v_coeffs=vcoeffs
+            mesh, coeffs, contact=contact_blocks, v_coeffs=vcoeffs,
+            frame_hessians=frame_hessians,
         )
         b_np = np.asarray(b, np.float64).reshape(-1)
         dx = jnp.asarray(
@@ -135,6 +151,12 @@ def newton_step_direct(
                 E = E + newtonmod.mixed_contact_merit(
                     cf, x_t, cd_t, cact_new, cla_new, dhat, kappa, dtype,
                     mesh=mesh, ee_mollifier=config.ee_mollifier,
+                )
+            if use_vcollision:
+                E = E + h2 * vcol.energy(cf, x_t, dhat, kappa, dt)
+            if use_friction:
+                E = E + h2 * fric.energy(
+                    ffr, x_t, config.contact_mu, epsv_h, dt
                 )
             return float(E)
 

@@ -59,11 +59,24 @@ class VPPlan(NamedTuple):
     nv_pad: int
     dim: int
     models: Tuple[str, ...]
+    # two-level coarse preconditioner data (naggr == 0 -> disabled):
+    # shard-local rigid-mode geometry + GLOBAL aggregate ids (the coarse
+    # space is replicated — it is tiny, 6*naggr dofs)
+    agg_v: jnp.ndarray = jnp.zeros((0, 0), jnp.int32)    # (D, nb)
+    r_v: jnp.ndarray = jnp.zeros((0, 0, 3))              # (D, nb, 3)
+    agg_e: jnp.ndarray = jnp.zeros((0, 0, 0), jnp.int32)  # (D, Ep, k)
+    naggr: int = 0
 
 
-def build_vp_plan(mesh: MeshData, n_shards: int) -> VPPlan:
+def build_vp_plan(mesh: MeshData, n_shards: int, coarse=None) -> VPPlan:
     """Partition a banded-ordered mesh; raises if the bandwidth exceeds the
-    halo capacity (use parallel/reorder.py first for arbitrary meshes)."""
+    halo capacity (use parallel/reorder.py first for arbitrary meshes).
+
+    `coarse` (solvers/coarse.py CoarseSpace) enables the two-level
+    rigid-body preconditioner INSIDE the vertex-partitioned CG: each shard
+    assembles its elements' Galerkin contributions, a psum replicates the
+    tiny dense coarse matrix, and the (matmul-only Newton-Schulz) inverse
+    is applied replicated per iteration (VERDICT r2 item 4)."""
     T = np.asarray(mesh.T)
     nv = mesh.nv
     E, k = T.shape
@@ -112,6 +125,26 @@ def build_vp_plan(mesh: MeshData, n_shards: int) -> VPPlan:
         )
 
     jdt = mesh.vols.dtype
+    agg_v = jnp.zeros((0, 0), jnp.int32)
+    r_v = jnp.zeros((0, 0, 3), jdt)
+    agg_e = jnp.zeros((0, 0, 0), jnp.int32)
+    naggr = 0
+    if coarse is not None:
+        agg_np = np.asarray(coarse.agg_id)
+        r_np = np.asarray(coarse.r)
+        naggr = coarse.naggr
+        agg_v = jnp.asarray(
+            np.concatenate(
+                [agg_np, np.zeros(nv_pad - nv, np.int32)]
+            ).reshape(n_shards, nb).astype(np.int32)
+        )
+        r_v = jnp.asarray(vpad(r_np).reshape(n_shards, nb, 3), jdt)
+        ae_np = np.zeros((n_shards, Ep, k), np.int32)
+        agg_of_T = agg_np[T]  # (E, k)
+        for sh in range(n_shards):
+            ids = np.nonzero(owner == sh)[0]
+            ae_np[sh, : len(ids)] = agg_of_T[ids]
+        agg_e = jnp.asarray(ae_np)
     return VPPlan(
         T_local=jnp.asarray(T_local),
         emask=jnp.asarray(emask, jdt),
@@ -133,6 +166,10 @@ def build_vp_plan(mesh: MeshData, n_shards: int) -> VPPlan:
         nv_pad=nv_pad,
         dim=d,
         models=mesh.models,
+        agg_v=agg_v,
+        r_v=r_v,
+        agg_e=agg_e,
+        naggr=naggr,
     )
 
 
@@ -179,12 +216,34 @@ def vp_newton_step(
 
     right = [(i, (i + 1) % D) for i in range(D)]
     left = [(i, (i - 1) % D) for i in range(D)]
+    use_coarse = plan.naggr > 0
+    naggr = plan.naggr
+    ncd = 6 * naggr
 
     # BDF1 target: x_tilde + h^2 ext (displacement.py:target)
     target = x + h * v + dt2 * plan.ext.reshape(-1, d)
 
+    def _modes_of(r3, mask):
+        """Per-vertex rigid-mode matrix [I | -skew(r)] (n, d, 6), masked
+        (solvers/coarse.py _vert_modes semantics)."""
+        n = r3.shape[0]
+        eye3 = jnp.eye(3, dtype=dtype)
+        zero = jnp.zeros((n,), dtype)
+        sk = jnp.stack(
+            [
+                jnp.stack([zero, r3[:, 2], -r3[:, 1]], axis=-1),
+                jnp.stack([-r3[:, 2], zero, r3[:, 0]], axis=-1),
+                jnp.stack([r3[:, 1], -r3[:, 0], zero], axis=-1),
+            ],
+            axis=-2,
+        )
+        B = jnp.concatenate(
+            [jnp.broadcast_to(eye3, (n, 3, 3)), sk], axis=-1
+        )
+        return B[:, :d, :] * mask[:, None, None]
+
     def body(x_blk, tgt_blk, s_blk, la_blk, Tl_b, em_b, dphi_b, vol_b,
-             mc_b, mu_b, lam_b, mid_b, fm_b):
+             mc_b, mu_b, lam_b, mid_b, fm_b, *coarse_b):
         x0 = x_blk[0]
         tgt = tgt_blk[0]
         s0 = s_blk[0]
@@ -192,6 +251,8 @@ def vp_newton_step(
         Tl, em, dphi, vol = Tl_b[0], em_b[0], dphi_b[0], vol_b[0]
         mc, mu_e, lam_e, mid = mc_b[0], mu_b[0], lam_b[0], mid_b[0]
         fm = fm_b[0]
+        if use_coarse:
+            agg_v, r_v, agg_e = (a[0] for a in coarse_b)
 
         def halo(p):
             """(nb, X) -> (nb + 2 Bd, X) via two ppermutes."""
@@ -256,14 +317,14 @@ def vp_newton_step(
         tgtbuf0 = halo(tgt)
 
         def newton_cond(carry):
-            xx, ss, ll, it, E_prev, dec, res = carry
+            xx, ss, ll, it, E_prev, dec, res, cg_sum = carry
             return jnp.logical_and(
                 it < outer,
                 jnp.logical_and(dec > config.newton_tol, res > 1e-12),
             )
 
         def newton_body(carry):
-            xx, ss, ll, it, E_prev, dec, res = carry
+            xx, ss, ll, it, E_prev, dec, res, cg_sum = carry
             xbuf = halo(xx)
             F, _ = F_of(xbuf)
             R, S = rotation.polar(F, d)
@@ -299,8 +360,56 @@ def vp_newton_step(
             blocks = blocks * mask + eye_d * (1.0 - mask)
             binv = jnp.linalg.inv(blocks)
 
-            def Minv(r):
+            def bj_apply(r):
                 return jnp.einsum("nij,nj->ni", binv, r) * fm[:, None]
+
+            if use_coarse:
+                # Two-level coarse solve inside the sharded CG: each shard
+                # assembles its elements' Galerkin blocks into the tiny
+                # dense (6 naggr)^2 matrix, psum replicates it, and the
+                # matmul-only Newton-Schulz inverse is applied replicated
+                # (solvers/coarse.py semantics, distributed).
+                B_own = _modes_of(r_v, fm)                # (nb, d, 6)
+                B_buf = _modes_of(halo(r_v), halo(fm[:, None])[:, 0])
+                Be = B_buf[Tl]                            # (Ep, k, d, 6)
+                blk_c = jnp.einsum(
+                    "ekl,ekra,elrb->eklab", mc, Be, Be
+                )
+                GB = jnp.einsum("eikr,ekra->eika", Gw, Be)
+                blk_c = blk_c + jnp.einsum(
+                    "eika,eilb->eklab", GB, GB
+                )
+                blk_c = blk_c * em[:, None, None, None, None]
+                Ac4 = jnp.zeros((naggr, 6, naggr, 6), dtype)
+                Ac4 = Ac4.at[
+                    agg_e[:, :, None], :, agg_e[:, None, :], :
+                ].add(blk_c)
+                Ac = jax.lax.psum(Ac4.reshape(ncd, ncd), "e")
+                ridge = jnp.trace(Ac) / ncd + 1e-30
+                Ac = Ac + (1e-6 * ridge) * jnp.eye(ncd, dtype=dtype)
+                # Newton-Schulz inverse (cold start; ~36 matmul pairs on a
+                # tiny replicated matrix)
+                eye_c = jnp.eye(ncd, dtype=dtype)
+                Xc0 = eye_c * (
+                    1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(Ac), 1)), 1e-30)
+                )
+                Acinv = jax.lax.fori_loop(
+                    0, 36, lambda _, X: X @ (2.0 * eye_c - Ac @ X), Xc0
+                )
+
+                def Minv(r):
+                    z = bj_apply(r)
+                    rc = jax.ops.segment_sum(
+                        jnp.einsum("nda,nd->na", B_own, r),
+                        agg_v, num_segments=naggr,
+                    )
+                    rc = jax.lax.psum(rc.reshape(-1), "e")
+                    zc = (Acinv @ rc).reshape(naggr, 6)
+                    return z + jnp.einsum(
+                        "nda,na->nd", B_own, zc[agg_v]
+                    ) * fm[:, None]
+            else:
+                Minv = bj_apply
 
             def A(p):
                 p = p * fm[:, None]
@@ -373,23 +482,27 @@ def vp_newton_step(
             accept = (ls_k < config.ls_iters).astype(dtype)
             xx = xx + accept * alpha * dx
             ss = ss + accept * alpha * ds
-            return (xx, ss, la_new, it + 1, E, dec_new, res_new)
+            return (xx, ss, la_new, it + 1, E, dec_new, res_new,
+                    cg_sum + cg_it)
 
         big = jnp.asarray(jnp.inf, dtype)
-        xx, ss, ll, it, E, dec, res = jax.lax.while_loop(
+        xx, ss, ll, it, E, dec, res, cg_sum = jax.lax.while_loop(
             newton_cond, newton_body,
             (x0, s0, la0, jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
-             big, big),
+             big, big, jnp.zeros((), jnp.int32)),
         )
-        return xx[None], ss[None], ll[None], it, dec
+        return xx[None], ss[None], ll[None], it, dec, cg_sum
 
+    coarse_args = (
+        (plan.agg_v, plan.r_v, plan.agg_e) if use_coarse else ()
+    )
     f = shard_map(
         body,
         mesh=jmesh,
-        in_specs=(P("e"),) * 13,
-        out_specs=(P("e"), P("e"), P("e"), P(), P()),
+        in_specs=(P("e"),) * (13 + len(coarse_args)),
+        out_specs=(P("e"), P("e"), P("e"), P(), P(), P()),
     )
-    x_new, s_new, la_new, iters, dec = f(
+    x_new, s_new, la_new, iters, dec, cg_total = f(
         x.reshape(D, nb, d),
         target.reshape(D, nb, d),
         s,
@@ -403,9 +516,10 @@ def vp_newton_step(
         plan.lam,
         plan.model_id,
         plan.free_mask,
+        *coarse_args,
     )
     x_new = x_new.reshape(-1, d)
     v_new = (x_new - x) / h
     # multipliers are cleared at step end (MixedCollision/MixedStretch
     # post_solve semantics)
-    return x_new, v_new, s_new, jnp.zeros_like(la_new), iters, dec
+    return x_new, v_new, s_new, jnp.zeros_like(la_new), iters, dec, cg_total

@@ -25,6 +25,9 @@ def assemble_condensed(
     ms_coeffs: Optional[StretchCoeffs] = None,
     contact=None,  # (frames (C,4), Gx (C,4,d), H (C,), active (C,))
     v_coeffs=None,  # vanilla stretch VanillaCoeffs (h^2 vol psi'' in F-space)
+    frame_hessians=(),  # [(frames (C,4), H (C,4d,4d)), ...] — vanilla
+    #                     collision / friction full frame Hessians
+    #                     (linear_system.h:17-31 sums nodal var lhs too)
 ) -> sp.csr_matrix:
     """Assemble P (M + K) P^T as scipy CSR over ALL dofs (pinned rows/cols
     are identity to keep the size fixed)."""
@@ -72,6 +75,22 @@ def assemble_condensed(
             r = np.concatenate([r, fr.reshape(-1)])
             c = np.concatenate([c, fc.reshape(-1)])
             v = np.concatenate([v, Aloc.reshape(-1)])
+
+    for frames_h, Hf in frame_hessians:
+        frames_h = np.asarray(frames_h)
+        Hf = np.asarray(Hf)
+        C = len(frames_h)
+        if not C:
+            continue
+        kf = frames_h.shape[1]
+        Hm = Hf.reshape(C, kf, d, kf, d).transpose(0, 1, 3, 2, 4)
+        fr = frames_h[:, :, None, None, None] * d + np.arange(d)[None, None, None, :, None]
+        fr = np.broadcast_to(fr, (C, kf, kf, d, d))
+        fc = frames_h[:, None, :, None, None] * d + np.arange(d)[None, None, None, None, :]
+        fc = np.broadcast_to(fc, (C, kf, kf, d, d))
+        r = np.concatenate([r, fr.reshape(-1)])
+        c = np.concatenate([c, fc.reshape(-1)])
+        v = np.concatenate([v, Hm.reshape(-1)])
 
     # mask pinned dofs
     dof_free = np.repeat(free, d)

@@ -46,12 +46,35 @@ def _scale(alpha, x):
     return jax.tree.map(lambda a: alpha * a, x)
 
 
-def kkt_operator(mesh: meshmod.MeshData, c: ms.StretchCoeffs):
-    """Returns the matrix-free KKT product A(u), u = (dx, ds, dl)."""
+def kkt_operator(
+    mesh: meshmod.MeshData,
+    c: ms.StretchCoeffs,
+    cf=None,
+    cc=None,
+    extra_x_matvec=None,
+):
+    """Returns the matrix-free KKT product A(u).
+
+    Without contact u = (dx, ds, dl); with contact frames (cf: ContactFrames,
+    cc: CollisionCoeffs) the system stacks the MixedCollision blocks exactly
+    like the reference's SystemMatrixIndefinite stacks ALL mixed variables
+    (linear_system.h:65-118, block_matrix.h:74-125): u = (dx, ds, dl, dd,
+    dlc) with the contact rows
+
+      x-row  += Gx^T dlc            (constraint jacobian transpose)
+      d-row   = Hc dd - dlc         (barrier Hessian; Gd = -1)
+      lc-row  = Gx : dx - dd        (linearized D(x) - d)
+
+    `extra_x_matvec(dx)` adds displacement-only Hessian products (vanilla
+    collision / friction, the reference's nodal vars in the same stack)."""
     w = sym.sym_weights(mesh.dim, dtype=mesh.vols.dtype)
+    has_contact = cf is not None and cf.frames.shape[0] > 0
 
     def A(u):
-        dx, ds, dl = u
+        if has_contact:
+            dx, ds, dl, dd, dlc = u
+        else:
+            dx, ds, dl = u
         dxm = meshmod.project_free(mesh, dx)
         # x-row: M dx + C^T dl = M dx + scatter(vol G^T Sym dl)
         out_x = meshmod.project_free(mesh, meshmod.mass_matvec(mesh, dxm))
@@ -64,6 +87,8 @@ def kkt_operator(mesh: meshmod.MeshData, c: ms.StretchCoeffs):
                 num_segments=mesh.nv,
             ),
         )
+        if extra_x_matvec is not None:
+            out_x = out_x + extra_x_matvec(dxm)
         # s-row: vol H ds - W dl
         out_s = mesh.vols[:, None] * (
             jnp.einsum("eij,ej->ei", c.H, ds) - w * dl
@@ -71,27 +96,73 @@ def kkt_operator(mesh: meshmod.MeshData, c: ms.StretchCoeffs):
         # lam-row: C dx - W ds
         Gdx = jnp.einsum("eikr,ekr->ei", c.G, dxm[mesh.T])
         out_l = mesh.vols[:, None] * (w * (Gdx - ds))
-        return (out_x, out_s, out_l)
+        if not has_contact:
+            return (out_x, out_s, out_l)
+        act = cc.active
+        # x-row += Gx^T dlc over active frames
+        contrib = cc.Gx * (dlc * act)[:, None, None]
+        out_x = out_x + meshmod.project_free(
+            mesh,
+            jax.ops.segment_sum(
+                contrib.reshape(-1, mesh.dim),
+                cf.frames.reshape(-1),
+                num_segments=mesh.nv,
+            ),
+        )
+        # d-row: Hc dd - dlc  (identity on inactive frames keeps S nonsingular)
+        out_d = jnp.where(act > 0, cc.H * dd - dlc, dd)
+        # lc-row: Gx : dx - dd
+        Gcdx = jnp.einsum("ckd,ckd->c", cc.Gx, dxm[cf.frames])
+        out_lc = jnp.where(act > 0, Gcdx - dd, dlc)
+        return (out_x, out_s, out_l, out_d, out_lc)
 
     return A
 
 
-def kkt_rhs(mesh, bdf, c: ms.StretchCoeffs, x, s, la, blend: float = 1.0):
-    """Negative KKT gradient at the current iterate (linear_system.h:71-87)."""
+def kkt_rhs(
+    mesh, bdf, c: ms.StretchCoeffs, x, s, la,
+    blend: float = 1.0,
+    cf=None, cc=None, extra_grad_x=None,
+):
+    """Negative KKT gradient at the current iterate (linear_system.h:71-87).
+
+    With contact (cf/cc): appends r_d = -(g_c - la_c), r_lc = -(D - d) and
+    adds the contact x-gradient Gx^T la_c (Gd = -1 throughout, matching
+    mixed_collision.cpp:252-272)."""
     w = sym.sym_weights(mesh.dim, dtype=mesh.vols.dtype)
     r_x = -(disp.gradient(mesh, bdf, x, blend) + ms.gradient_x(mesh, c, la))
     r_s = -mesh.vols[:, None] * (c.g - w * la)
     r_l = -mesh.vols[:, None] * (w * (c.Sv - s))
-    return (r_x, r_s, r_l)
+    if extra_grad_x is not None:
+        r_x = r_x - extra_grad_x
+    if cf is None or cf.frames.shape[0] == 0:
+        return (r_x, r_s, r_l)
+    act = cc.active
+    contrib = cc.Gx * (cc.la * act)[:, None, None]
+    r_x = r_x - meshmod.project_free(
+        mesh,
+        jax.ops.segment_sum(
+            contrib.reshape(-1, mesh.dim),
+            cf.frames.reshape(-1),
+            num_segments=mesh.nv,
+        ),
+    )
+    r_d = -(cc.g - cc.la) * act
+    r_lc = -(cc.D - cc.d) * act
+    return (r_x, r_s, r_l, r_d, r_lc)
 
 
-def kkt_block_diag_preconditioner(mesh: meshmod.MeshData, c: ms.StretchCoeffs):
+def kkt_block_diag_preconditioner(
+    mesh: meshmod.MeshData, c: ms.StretchCoeffs, cf=None, cc=None
+):
     """SPD block-diagonal preconditioner (BlockDiagonalPreconditioner
     analog, preconditioners.h:8-152): lumped-mass inverse on the x block,
     (vol H)^{-1} on the s block, and a lumped C M^{-1} C^T inverse on the
-    dual block."""
+    dual block(s). Contact adds Hc^{-1} on the d block and a lumped
+    Gx Ml^{-1} Gx^T + Hc^{-1} diagonal on the contact-dual block."""
     w = sym.sym_weights(mesh.dim, dtype=mesh.vols.dtype)
     m_inv = jnp.where(mesh.mass_lumped > 0, 1.0 / mesh.mass_lumped, 1.0)
+    has_contact = cf is not None and cf.frames.shape[0] > 0
 
     # dual block diag: L_e ~ vol^2 w^2 sum_{k,r} G^2 / m_lumped
     minv_e = m_inv[mesh.T]  # (E, k)
@@ -100,12 +171,25 @@ def kkt_block_diag_preconditioner(mesh: meshmod.MeshData, c: ms.StretchCoeffs):
     ) * (w * w)[None, :]
     L = jnp.maximum(L, 1e-30)
 
+    if has_contact:
+        act = cc.active
+        hc_inv = jnp.where(act > 0, 1.0 / jnp.maximum(cc.H, 1e-8), 1.0)
+        Lc = jnp.einsum(
+            "ckr,ckr,ck->c", cc.Gx, cc.Gx, m_inv[cf.frames]
+        )
+        Lc = jnp.where(act > 0, jnp.maximum(Lc + hc_inv, 1e-30), 1.0)
+
     def Minv(u):
-        r_x, r_s, r_l = u
+        if has_contact:
+            r_x, r_s, r_l, r_d, r_lc = u
+        else:
+            r_x, r_s, r_l = u
         z_x = meshmod.project_free(mesh, r_x * m_inv[:, None])
         z_s = jnp.einsum("eij,ej->ei", c.Hinv, r_s) / mesh.vols[:, None]
         z_l = r_l / L
-        return (z_x, z_s, z_l)
+        if not has_contact:
+            return (z_x, z_s, z_l)
+        return (z_x, z_s, z_l, r_d * hc_inv, r_lc / Lc)
 
     return Minv
 

@@ -66,6 +66,58 @@ def pcg(
     return x, it, rel
 
 
+def pcg_tree(
+    A: Callable,
+    b,
+    x0,
+    Minv: Callable,
+    max_iters: int,
+    tol: float,
+):
+    """pcg generalized to pytree unknowns (used by the coupled dual-Schur
+    system with contact, solvers/dual.py). Same Eigen-CG convergence
+    semantics: ||r||_2 <= tol * ||b||_2 over the stacked vector."""
+
+    def tdot(u, v):
+        return sum(
+            jnp.vdot(a, bb)
+            for a, bb in zip(jax.tree.leaves(u), jax.tree.leaves(v))
+        )
+
+    def taxpy(alpha, u, v):
+        return jax.tree.map(lambda a, bb: alpha * a + bb, u, v)
+
+    bnorm2 = tdot(b, b)
+    safe_b = jnp.where(bnorm2 > 0, bnorm2, 1.0)
+    tol2 = (tol * tol) * safe_b
+
+    r = taxpy(-1.0, A(x0), b)
+    z = Minv(r)
+    p = z
+    rz = tdot(r, z)
+
+    def cond(carry):
+        x, r, z, p, rz, it = carry
+        return jnp.logical_and(it < max_iters, tdot(r, r) > tol2)
+
+    def body(carry):
+        x, r, z, p, rz, it = carry
+        Ap = A(p)
+        denom = tdot(p, Ap)
+        alpha = rz / jnp.where(denom != 0, denom, 1.0)
+        x = taxpy(alpha, p, x)
+        r = taxpy(-alpha, Ap, r)
+        z = Minv(r)
+        rz_new = tdot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = taxpy(beta, p, z)
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, z, p, rz, 0))
+    rel = jnp.sqrt(tdot(r, r) / safe_b)
+    return x, it, rel
+
+
 def block_jacobi_inv(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray):
     """Build the block-Jacobi preconditioner application from per-vertex
     (d, d) diagonal blocks. Pinned vertices get the identity (their rows are

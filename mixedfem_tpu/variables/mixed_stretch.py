@@ -70,10 +70,21 @@ def coeffs_from_FG(F, G, R, Sv, s, vols, mu, lam, model_id, models, dt):
     )
 
 
-def update(mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt):
-    """Rotations + derivatives (reference update(), mixed_stretch.cpp:159-243)."""
+def update(
+    mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, dt,
+    R_prev: jnp.ndarray | None = None,
+):
+    """Rotations + derivatives (reference update(), mixed_stretch.cpp:159-243).
+
+    R_prev (E, 3, 3) enables the warm-started Newton-Procrustes polar
+    (ops/rotation.py polar_warm) — temporal rotation-branch tracking
+    through element inversion, matching the reference's per-element R_
+    cache (newton_procrustes.h:108-189, mixed_stretch.cpp:18-53)."""
     F = meshmod.def_grad(mesh, x)
-    R, S = rotation.polar(F, mesh.dim)
+    if R_prev is not None and mesh.dim == 3:
+        R, S = rotation.polar_warm(F, R_prev)
+    else:
+        R, S = rotation.polar(F, mesh.dim)
     Sv = sym.pack(S)
     D = rotation.dsdF(R, S, mesh.dim)                     # (E, N, d, d)
     if mesh.shell:

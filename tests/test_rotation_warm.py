@@ -1,0 +1,127 @@
+"""Warm-started Newton-Procrustes rotations (VERDICT r2 item 7).
+
+The reference warm-starts each element's rotation from the previous
+iterate (src/svd/newton_procrustes.h:108-189), tracking a smooth branch
+through element inversion; config.rotation_warm_start reproduces that by
+carrying per-element R in SimState as the polar seed.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mixedfem_tpu.config import SimConfig
+from mixedfem_tpu.mesh import mesh as meshmod
+from mixedfem_tpu.ops import rotation as rot
+from mixedfem_tpu.optimizer import newton
+
+from tests.test_newton import small_beam
+
+
+class TestPolarWarm:
+    def test_matches_stateless_away_from_inversion(self):
+        rng = np.random.default_rng(0)
+        F = jnp.asarray(rng.standard_normal((64, 3, 3)) * 0.3 + np.eye(3))
+        R_ref, S_ref = rot.polar33(F, sweeps=10)
+        w = jnp.asarray(rng.standard_normal((64, 3)) * 0.3)
+        R0 = jnp.einsum("eik,ekj->eij", R_ref, rot._rodrigues(w))
+        R, S = rot.polar_warm(F, R0, iters=6)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref), atol=1e-10)
+
+    def test_orthonormality_preserved(self):
+        rng = np.random.default_rng(1)
+        F = jnp.asarray(rng.standard_normal((32, 3, 3)))
+        R, _ = rot.polar_warm(
+            F, jnp.broadcast_to(jnp.eye(3), (32, 3, 3)), iters=8
+        )
+        RtR = jnp.einsum("eki,ekj->eij", R, R)
+        np.testing.assert_allclose(
+            np.asarray(RtR), np.tile(np.eye(3), (32, 1, 1)), atol=1e-10
+        )
+
+    def test_tracks_branch_through_inversion(self):
+        """An element flattened through zero volume: the warm start keeps
+        R continuous with the pre-inversion rotation (the stateless SVD's
+        sign convention is free to pick any branch)."""
+        # F interpolating from I to diag(-0.5, 1, 1): passes through
+        # singularity at t where 1-1.5t = 0
+        ts = np.linspace(0.0, 1.0, 21)
+        R_prev = jnp.eye(3)[None]
+        for t in ts:
+            F = jnp.asarray(np.diag([1 - 1.5 * t, 1.0, 1.0]))[None]
+            R_prev, S = rot.polar_warm(F, R_prev, iters=6)
+        # continuous branch: R stays I, S carries the negative stretch
+        np.testing.assert_allclose(
+            np.asarray(R_prev)[0], np.eye(3), atol=1e-8
+        )
+        assert float(S[0, 0, 0]) < 0
+
+
+class TestWarmStartStep:
+    def _run(self, warm, dtype, steps=4):
+        mesh, V = small_beam(6, 3, 3)
+        if dtype == "float32":
+            mesh = jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == jnp.float64
+                else a,
+                mesh,
+            )
+        jd = jnp.float64 if dtype == "float64" else jnp.float32
+        config = SimConfig(
+            h=0.02, outer_steps=6, newton_tol=0.0, itr_tol=1e-10,
+            max_iterative_solver_iters=5000,
+            mixed_variables=("mixed-stretch",),
+            dtype=dtype, rotation_warm_start=warm,
+        )
+        # squashed initial state: free part compressed to 10% along x
+        # (inverts every element whose span is in the free region)
+        V2 = np.asarray(V).copy()
+        fixed = np.asarray(mesh.free_mask) == 0
+        x_pin = V2[fixed, 0].max() if fixed.any() else 0.0
+        V2[:, 0] = np.where(
+            fixed, V2[:, 0], x_pin - 0.1 * (V2[:, 0] - x_pin)
+        )
+        state = newton.init_state(
+            mesh, config, (), jnp.asarray(V2, jd), jnp.zeros((len(V2), 3), jd)
+        )
+        for _ in range(steps):
+            state = newton.newton_step(mesh, config, (), state)
+        return mesh, state
+
+    def test_inversion_recovery_matches_f64_oracle(self):
+        """Inverted elements recover over steps; the f32 warm-start
+        trajectory agrees with the f64 warm-start oracle."""
+        mesh, st64 = self._run(True, "float64")
+        _, st32 = self._run(True, "float32")
+        x64 = np.asarray(st64.x)
+        x32 = np.asarray(st32.x, np.float64)
+        assert np.isfinite(x64).all() and np.isfinite(x32).all()
+        # recovery: all elements back to positive volume
+        F = meshmod.def_grad(mesh, jnp.asarray(x64))
+        assert float(jnp.linalg.det(F).min()) > 0
+        scale = np.abs(x64).max()
+        assert np.abs(x32 - x64).max() < 1e-4 * scale
+
+    def test_warm_equals_stateless_without_inversion(self):
+        """Away from inversion the warm start is an exact reformulation."""
+        mesh, V = small_beam(5, 2, 2)
+        config_kw = dict(
+            h=0.02, outer_steps=4, itr_tol=1e-11,
+            max_iterative_solver_iters=5000,
+            mixed_variables=("mixed-stretch",), dtype="float64",
+        )
+        xs = {}
+        for warm in (False, True):
+            config = SimConfig(rotation_warm_start=warm, **config_kw)
+            state = newton.init_state(
+                mesh, config, (), jnp.asarray(V), jnp.zeros((len(V), 3))
+            )
+            for _ in range(3):
+                state = newton.newton_step(mesh, config, (), state)
+            xs[warm] = np.asarray(state.x)
+        scale = np.abs(xs[False]).max()
+        np.testing.assert_allclose(
+            xs[True], xs[False], atol=1e-9 * scale
+        )
