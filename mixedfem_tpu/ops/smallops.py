@@ -33,7 +33,10 @@ def contract_D_dphi(D: jnp.ndarray, dphi: jnp.ndarray) -> jnp.ndarray:
                 for c in range(1, d):
                     acc = acc + D[:, i, r, c] * dcols[kk][c]
                 out.append(acc)
-    return jnp.stack(out, axis=1).reshape(E, N, k, d)
+    # stack along a LEADING axis (contiguous (E,) row writes) and transpose
+    # once: stacking axis=1 materializes as an N*k*d-way column concat with
+    # strided 4-byte writes (~24 ms/step at 100k tets in the profile).
+    return jnp.stack(out, axis=0).T.reshape(E, N, k, d)
 
 
 def contract_sym_G(Hs: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +56,8 @@ def contract_sym_G(Hs: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
             for j in range(1, N):
                 acc = acc + h[i][j] * cols[j][a]
             out.append(acc)
-    return jnp.stack(out, axis=1).reshape(E, N, k, d)
+    # leading-axis stack + one transpose (see contract_D_dphi)
+    return jnp.stack(out, axis=0).T.reshape(E, N, k, d)
 
 
 def sym_reconstruct(V: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

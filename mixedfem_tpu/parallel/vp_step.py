@@ -37,6 +37,7 @@ from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.materials import models as mat
 from mixedfem_tpu.mesh.mesh import MeshData
 from mixedfem_tpu.ops import rotation, smallops, sym
+from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import mixed_stretch as ms
 
 
@@ -358,7 +359,7 @@ def vp_newton_step(
             blocks = unhalo_add(blk_buf).reshape(nb, d, d)
             mask = fm[:, None, None]
             blocks = blocks * mask + eye_d * (1.0 - mask)
-            binv = jnp.linalg.inv(blocks)
+            binv = pcgmod._small_inv(blocks)
 
             def bj_apply(r):
                 return jnp.einsum("nij,nj->ni", binv, r) * fm[:, None]

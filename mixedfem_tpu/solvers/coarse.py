@@ -248,3 +248,56 @@ def two_level_apply(cs: CoarseSpace, free_mask, Ac_inv, bj_apply, r, dim):
     rc = restrict(cs, free_mask, r).reshape(-1)
     zc = (Ac_inv @ rc).reshape(cs.naggr, 6)
     return z + prolong(cs, free_mask, zc, dim) * free_mask[:, None]
+
+
+def brick_preconditioner(
+    cs: Optional[CoarseSpace], free_mask, binv, dim: int, Hpad: int
+):
+    """Two-level (or plain block-Jacobi) preconditioner operating directly
+    on brick-layout vectors (ops/brick.py), so the whole CG loop stays in
+    the matvec kernel's native layout — no per-iteration (nv, d) <->
+    (d*Hpad, 128) relayouts.
+
+    `binv` is the per-vertex (nv, d, d) block-Jacobi inverse, already
+    zeroed at pinned vertices. The key identity making this cheap: a
+    single brick component's row-major flattening IS vertex order, so the
+    aggregate restriction stays a segment_sum with no permutation."""
+    from mixedfem_tpu.ops import brick as brickmod
+
+    nv = free_mask.shape[0]
+    LANE = brickmod.LANE
+    nvpad = Hpad * LANE
+    Binv_b = brickmod.to_brick(
+        binv.reshape(nv, dim * dim), Hpad
+    ).reshape(dim, dim, Hpad, LANE)
+    if cs is not None:
+        B = _vert_modes(cs, free_mask, dim)  # (nv, d, 6) zeroed at pins
+        Bb = brickmod.to_brick(
+            B.reshape(nv, dim * 6), Hpad
+        ).reshape(dim, 6, Hpad, LANE)
+        agg_pad = jnp.concatenate(
+            [
+                cs.agg_id,
+                jnp.full((nvpad - nv,), cs.naggr, jnp.int32),
+            ]
+        )
+
+    def apply(rb, Ac_inv=None):
+        r3 = rb.reshape(dim, Hpad, LANE)
+        z = jnp.einsum("ijhw,jhw->ihw", Binv_b, r3)
+        if cs is not None:
+            w = jnp.einsum("dmhw,dhw->mhw", Bb, r3)  # (6, Hpad, LANE)
+            rc = jax.ops.segment_sum(
+                w.reshape(6, -1).T, agg_pad, num_segments=cs.naggr + 1
+            )[: cs.naggr]
+            zc = (Ac_inv @ rc.reshape(-1)).reshape(cs.naggr, 6)
+            zcp = jnp.concatenate(
+                [zc, jnp.zeros((1, 6), zc.dtype)], axis=0
+            )
+            zv = zcp[agg_pad]  # (nvpad, 6)
+            z = z + jnp.einsum(
+                "dmhw,mhw->dhw", Bb, zv.T.reshape(6, Hpad, LANE)
+            )
+        return z.reshape(dim * Hpad, LANE)
+
+    return apply

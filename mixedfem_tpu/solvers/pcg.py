@@ -118,6 +118,44 @@ def pcg_tree(
     return x, it, rel
 
 
+def _small_inv(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched inverse for (n, d, d), d in {2, 3}. The batched
+    LU custom-call jnp.linalg.inv lowers to costs ~18 ms per Newton
+    iteration at 22k vertices on TPU; the adjugate form is a handful of
+    fused elementwise ops."""
+    d = blocks.shape[-1]
+    if d == 2:
+        a, b = blocks[..., 0, 0], blocks[..., 0, 1]
+        c, e = blocks[..., 1, 0], blocks[..., 1, 1]
+        det = a * e - b * c
+        inv = jnp.stack(
+            [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+        )
+        return inv / det[..., None, None]
+    if d == 3:
+        m = blocks
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+        adjT = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], -1),
+                jnp.stack([c01, c11, c21], -1),
+                jnp.stack([c02, c12, c22], -1),
+            ],
+            -2,
+        )
+        return adjT / det[..., None, None]
+    return jnp.linalg.inv(blocks)
+
+
 def block_jacobi_inv(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray):
     """Build the block-Jacobi preconditioner application from per-vertex
     (d, d) diagonal blocks. Pinned vertices get the identity (their rows are
@@ -127,7 +165,7 @@ def block_jacobi_inv(diag_blocks: jnp.ndarray, free_mask: jnp.ndarray):
     # Regularize pinned/empty blocks to identity.
     mask = free_mask[:, None, None]
     blocks = diag_blocks * mask + eye * (1.0 - mask)
-    inv = jnp.linalg.inv(blocks)
+    inv = _small_inv(blocks)
 
     def apply(r):
         return jnp.einsum("nij,nj->ni", inv, r) * free_mask[:, None]
