@@ -46,6 +46,8 @@ class BrickPlan:
 
     hilo: jnp.ndarray       # (Ep, 2k) int32: cols [0:k] window sublane
     #                         (hi), cols [k:2k] lane (lo) per corner
+    hilo_cm: jnp.ndarray    # (k*Ep, 2) int32 corner-major per chunk:
+    #                         rows [c*k*ce + corner*ce + e], cols (hi, lo)
     h0: jnp.ndarray         # (nchunks,) int32 window start sublane (8-mult)
     nv: int = flax.struct.field(pytree_node=False)
     E: int = flax.struct.field(pytree_node=False)   # real element count
@@ -83,9 +85,21 @@ def build_brick_plan(T, nv: int, ce: int = 512) -> BrickPlan | None:
     hi = Tp // LANE - h0[:, None].repeat(ce, 1).reshape(-1, 1)
     lo = Tp % LANE
     assert hi.min() >= 0 and hi.max() < Wh
+    # corner-major stacking per chunk (kernel v2 reads (hi, lo) columns
+    # directly instead of concatenating (ce, 1) slices in-kernel, which
+    # Mosaic cannot lower)
+    hi_cm = (
+        hi.reshape(-1, ce, k).transpose(0, 2, 1).reshape(-1, 1)
+    )
+    lo_cm = (
+        lo.reshape(-1, ce, k).transpose(0, 2, 1).reshape(-1, 1)
+    )
     return BrickPlan(
         hilo=jnp.asarray(
             np.concatenate([hi, lo], axis=1).astype(np.int32)
+        ),
+        hilo_cm=jnp.asarray(
+            np.concatenate([hi_cm, lo_cm], axis=1).astype(np.int32)
         ),
         h0=jnp.asarray(h0),
         nv=nv, E=E, Ep=Ep, k=k, ce=ce, Wh=Wh, Hpad=Hpad,
@@ -161,8 +175,9 @@ def _bf16_split(x):
 
 def _matvec_kernel(plan_static, h0_ref, hilo_ref, gw_ref, m_ref, p_ref,
                    out_ref):
-    ce, k, d, N, Wh, Hpad = plan_static
+    ce, k, d, N, Wh, Hpad, scheme = plan_static
     kd = k * d
+    split = scheme == "split"
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -175,12 +190,14 @@ def _matvec_kernel(plan_static, h0_ref, hilo_ref, gw_ref, m_ref, p_ref,
 
     # per-component window splits (shared across corners), stacked along
     # the contraction dim: K = 2 Wh <= 128 keeps ONE MXU pass for BOTH
-    # split halves
+    # split halves ("bf16" scheme: single pass, K = Wh, values rounded)
     Pws = []
     for dc in range(d):
         Pw = p_ref[pl.ds(dc * Hpad + h0, Wh), :]           # (Wh, 128)
-        Pw_hi, Pw_lo = _bf16_split(Pw)
-        Pws.append(jnp.concatenate([Pw_hi, Pw_lo], axis=0))  # (2 Wh, 128)
+        if split:
+            Pw_hi, Pw_lo = _bf16_split(Pw)
+            Pw = jnp.concatenate([Pw_hi, Pw_lo], axis=0)   # (2 Wh, 128)
+        Pws.append(Pw)
 
     # gather: pe (ce, k*d) with column corner*d+dc. The window-row copy is
     # a split one-hot matmul; the lane selection is an EXACT dynamic
@@ -195,7 +212,9 @@ def _matvec_kernel(plan_static, h0_ref, hilo_ref, gw_ref, m_ref, p_ref,
         ohl = (lo == lanesL).astype(gw_ref.dtype)          # (ce, 128)
         ohh_list.append(ohh)
         ohl_list.append(ohl)
-        ohh2 = jnp.concatenate([ohh, ohh], axis=1)         # (ce, 2 Wh)
+        ohh2 = (
+            jnp.concatenate([ohh, ohh], axis=1) if split else ohh
+        )                                                  # (ce, (2) Wh)
         lob = jnp.broadcast_to(lo, (ce, LANE))
         for dc in range(d):
             tmp = jnp.dot(
@@ -230,13 +249,14 @@ def _matvec_kernel(plan_static, h0_ref, hilo_ref, gw_ref, m_ref, p_ref,
     val = jnp.concatenate(val_cols, axis=1)                # (ce, kd)
 
     # scatter: out_window[dc] += sum_c onehot(hi_c)^T @ (onehot(lo_c)*val)
-    # (bf16 hi/lo split of the values; the one-hot factors are exact)
-    val_hi, val_lo = _bf16_split(val)
+    # (bf16 hi/lo split of the values; the one-hot factors are exact.
+    # "bf16" scheme: single pass on the rounded values)
+    parts = _bf16_split(val) if split else (val,)
     for dc in range(d):
         contrib = None
         for corner in range(k):
             col = corner * d + dc
-            for part_val in (val_hi, val_lo):
+            for part_val in parts:
                 S = ohl_list[corner] * part_val[:, col : col + 1]
                 part = jax.lax.dot_general(
                     ohh_list[corner], S,
@@ -251,7 +271,7 @@ def _matvec_kernel(plan_static, h0_ref, hilo_ref, gw_ref, m_ref, p_ref,
 @functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
 def _matvec_call(hilo, h0, Gw_rows, m_rows, p_brick, plan_static,
                  interpret=False):
-    ce, k, d, N, Wh, Hpad = plan_static
+    ce, k, d, N, Wh, Hpad, _scheme = plan_static
     nchunks = hilo.shape[0] // ce
     kernel = functools.partial(_matvec_kernel, plan_static)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -280,16 +300,139 @@ def brick_matvec(
     p_brick: jnp.ndarray,
     d: int,
     interpret: bool = False,
+    scheme: str = "split",
 ) -> jnp.ndarray:
     """(d*Hpad, 128) brick -> (d*Hpad, 128) brick. Caller masks pins.
 
-    Gw_rows/m_rows from element_rows(), padded with pad_rows()."""
+    Gw_rows/m_rows from element_rows(), padded with pad_rows().
+    scheme: "split" = bf16 hi/lo compensated MXU products (~1e-6 relative
+    matvec error); "bf16" = single-pass rounded values (~3e-3 relative,
+    half the MXU passes) for inexact-Newton CG (see solve config)."""
     N = Gw_rows.shape[1] // (plan.k * d)
     return _matvec_call(
         plan.hilo, plan.h0, Gw_rows, m_rows, p_brick,
-        (plan.ce, plan.k, d, N, plan.Wh, plan.Hpad),
+        (plan.ce, plan.k, d, N, plan.Wh, plan.Hpad, scheme),
         interpret=interpret,
     )
+
+
+def _matvec_kernel2(plan_static, h0_ref, hilo_cm_ref, gw_ref, m_ref, p_ref,
+                    out_ref):
+    """Corner-stacked variant of _matvec_kernel: the k per-corner one-hot
+    gather matmuls collapse into ONE (k*ce)-row matmul per component
+    (indices come corner-major from the plan — Mosaic cannot lower in-
+    kernel (ce, 1) sublane concats), and the 2*k*d scatter contractions
+    collapse into k dots with components and bf16 halves lane-concatenated
+    (N = 2*d*128). Same math, ~5x fewer MXU ops per chunk, so the fixed
+    per-matmul pipeline overhead amortizes."""
+    ce, k, d, N, Wh, Hpad = plan_static
+    kd = k * d
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    h0 = h0_ref[c]
+    kce = k * ce
+    lanesW = jax.lax.broadcasted_iota(jnp.int32, (kce, Wh), 1)
+    lanesL = jax.lax.broadcasted_iota(jnp.int32, (kce, LANE), 1)
+
+    hi_all = hilo_cm_ref[:, 0:1]                           # (kce, 1)
+    lo_all = hilo_cm_ref[:, 1:2]
+    ohh = (hi_all == lanesW).astype(jnp.float32)           # (kce, Wh)
+    ohl = (lo_all == lanesL).astype(jnp.float32)           # (kce, 128)
+    ohh2 = jnp.concatenate([ohh, ohh], axis=1)             # (kce, 2Wh)
+    lob = jnp.broadcast_to(lo_all, (kce, LANE))
+
+    # gather: one split one-hot matmul + lane select per component
+    pe_cols = [None] * kd
+    for dc in range(d):
+        Pw = p_ref[pl.ds(dc * Hpad + h0, Wh), :]           # (Wh, 128)
+        Pw_hi, Pw_lo = _bf16_split(Pw)
+        Pws = jnp.concatenate([Pw_hi, Pw_lo], axis=0)      # (2Wh, 128)
+        tmp = jnp.dot(ohh2, Pws, preferred_element_type=jnp.float32)
+        sel = jnp.take_along_axis(tmp, lob, axis=1)[:, 0:1]  # (kce, 1)
+        for corner in range(k):
+            pe_cols[corner * d + dc] = sel[
+                corner * ce : (corner + 1) * ce, :
+            ]
+    pe = jnp.concatenate(pe_cols, axis=1)                  # (ce, kd)
+
+    # factored stretch block: q = Gw pe (N), val = Gw^T q  (A_e = Gw^T Gw)
+    qs = [
+        jnp.sum(
+            gw_ref[:, i * kd : (i + 1) * kd] * pe, axis=1, keepdims=True
+        )
+        for i in range(N)
+    ]
+    val_cols = []
+    for corner in range(k):
+        acc = None
+        for i in range(N):
+            Gic = gw_ref[:, i * kd + corner * d : i * kd + (corner + 1) * d]
+            t = Gic * qs[i]
+            acc = t if acc is None else acc + t
+        for l in range(k):
+            t = m_ref[:, corner * k + l : corner * k + l + 1] * pe[
+                :, l * d : (l + 1) * d
+            ]
+            acc = acc + t
+        val_cols.append(acc)                               # (ce, d)
+
+    # scatter: ONE dot per corner — (dc, bf16-half) pairs lane-concatenated
+    # into N = 2*d*128 output columns
+    contrib = None
+    for corner in range(k):
+        ohl_c = ohl[corner * ce : (corner + 1) * ce, :]    # (ce, 128)
+        ohh_c = ohh[corner * ce : (corner + 1) * ce, :]    # (ce, Wh)
+        v_hi, v_lo = _bf16_split(val_cols[corner])         # (ce, d)
+        S = jnp.concatenate(
+            [
+                ohl_c * part[:, dc : dc + 1]
+                for dc in range(d)
+                for part in (v_hi, v_lo)
+            ],
+            axis=1,
+        )                                                  # (ce, 2d*128)
+        part = jax.lax.dot_general(
+            ohh_c, S,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (Wh, 2d*128)
+        contrib = part if contrib is None else contrib + part
+    for dc in range(d):
+        idx = dc * Hpad + h0
+        out_ref[pl.ds(idx, Wh), :] = (
+            out_ref[pl.ds(idx, Wh), :]
+            + contrib[:, (2 * dc) * LANE : (2 * dc + 1) * LANE]
+            + contrib[:, (2 * dc + 1) * LANE : (2 * dc + 2) * LANE]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "interpret"))
+def _matvec_call2(hilo_cm, h0, Gw_rows, m_rows, p_brick, plan_static,
+                  interpret=False):
+    ce, k, d, N, Wh, Hpad = plan_static
+    nchunks = hilo_cm.shape[0] // (k * ce)
+    kernel = functools.partial(_matvec_kernel2, plan_static)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((k * ce, 2), lambda c, h0s: (c, 0)),
+            pl.BlockSpec((ce, N * k * d), lambda c, h0s: (c, 0)),
+            pl.BlockSpec((ce, k * k), lambda c, h0s: (c, 0)),
+            pl.BlockSpec((d * Hpad, LANE), lambda c, h0s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((d * Hpad, LANE), lambda c, h0s: (0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d * Hpad, LANE), p_brick.dtype),
+        interpret=interpret,
+    )(h0, hilo_cm, Gw_rows, m_rows, p_brick)
 
 
 # ---------------------------------------------------------------------------
