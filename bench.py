@@ -26,10 +26,19 @@ def build(nx, ny, nz, dtype, backend_device=None):
     from mixedfem_tpu.optimizer import newton
     from mixedfem_tpu.solvers.operator import sort_elements_banded
 
+    from mixedfem_tpu.ops import stencil as stmod
+
     V, T = generators.box_tet_mesh(nx, ny, nz, size=(4.0, 1.0, 1.0))
-    # banded element order (free static reorder; enables the windowed
-    # Pallas assembly kernel on TPU)
-    T = T[sort_elements_banded(T)]
+    # structured-grid stencil plan (cell-major element order) when the
+    # box structure is detected; else banded element order (free static
+    # reorder; enables the windowed Pallas brick kernel on TPU)
+    splan, perm = stmod.build_stencil_plan(
+        T, len(V), (nx + 1, ny + 1, nz + 1)
+    )
+    if splan is not None:
+        T = T[perm]
+    else:
+        T = T[sort_elements_banded(T)]
     la, mu = enu_to_lame(1e6, 0.45)
     is_fixed = np.zeros(len(V), bool)
     is_fixed[V[:, 0] < 1e-9] = True
@@ -60,6 +69,9 @@ def build(nx, ny, nz, dtype, backend_device=None):
     if backend_device is not None:
         mesh = jax.device_put(mesh, backend_device)
         state = jax.device_put(state, backend_device)
+        if splan is not None:
+            splan = jax.device_put(splan, backend_device)
+    build.last_stencil_plan = splan
     return mesh, config, state, len(T)
 
 
@@ -160,12 +172,16 @@ def flop_byte_estimate(ntets, newton_iters, cg_total):
     return flops, bytes_hbm
 
 
-def _make_plan(mesh):
-    """Production matvec plan: the fused brick kernel (ops/brick.py) when
-    the banded window fits, else the banded windowed-scatter path."""
+def _make_plan(mesh, stencil_plan=None):
+    """Production matvec plan: the structured-grid 27-point stencil
+    (ops/stencil.py) when the mesh is a box grid; else the fused brick
+    kernel (ops/brick.py) when the banded window fits, else the banded
+    windowed-scatter path."""
     import jax
     import numpy as np
 
+    if stencil_plan is not None:
+        return stencil_plan
     if jax.default_backend() == "cpu":
         return None
     from mixedfem_tpu.ops.brick import build_brick_plan
@@ -203,7 +219,7 @@ def main():
     from mixedfem_tpu.solvers.operator import build_banded_plan
 
     mesh, config, state, ntets = build(40, 25, 20, "float32")  # 100k tets
-    plan = _make_plan(mesh)
+    plan = _make_plan(mesh, build.last_stencil_plan)
     cs = build_coarse_space(
         np.asarray(mesh.V0),
         np.asarray(mesh.T),
@@ -244,6 +260,7 @@ def main():
 
     # 10k tets accelerator vs CPU for vs_baseline (same solver config both)
     mesh, config, state, nt10 = build(20, 10, 10, "float32")  # 10k tets
+    plan10_stencil = build.last_stencil_plan
     cs10 = build_coarse_space(
         np.asarray(mesh.V0),
         np.asarray(mesh.T),
@@ -254,7 +271,7 @@ def main():
     state = state.replace(
         precond=jnp.zeros((cs10.ncd, cs10.ncd), jnp.float32)
     )
-    plan10 = _make_plan(mesh)
+    plan10 = _make_plan(mesh, plan10_stencil)
     ms_10k, _, _, _ = time_steps(
         mesh, config, state, n_steps=5, coarse=cs10, plan=plan10
     )
@@ -276,7 +293,8 @@ def main():
                 )
             )
             ms_cpu_100k, _, _, _ = time_steps(
-                mesh_c, config_c, state_c, n_steps=2, coarse=cs_c
+                mesh_c, config_c, state_c, n_steps=2, coarse=cs_c,
+                plan=build.last_stencil_plan,
             )
             extras["ms_per_step_100k_tets_cpu"] = round(ms_cpu_100k, 1)
             extras["vs_cpu_100k"] = round(ms_cpu_100k / ms_100k, 2)
@@ -293,7 +311,8 @@ def main():
         )
         cs10c = jax.device_put(cs10, cpu)
         ms_cpu_10k, _, _, _ = time_steps(
-            mesh_c, config_c, state_c, n_steps=2, coarse=cs10c
+            mesh_c, config_c, state_c, n_steps=2, coarse=cs10c,
+            plan=build.last_stencil_plan,
         )
         extras["ms_per_step_10k_tets_cpu"] = round(ms_cpu_10k, 3)
         vs_baseline = ms_cpu_10k / ms_10k

@@ -47,7 +47,11 @@ def interleave_cols(cols: list, E: int) -> jnp.ndarray:
     (m contiguous row writes), then transpose in VMEM chunks with a tiny
     Pallas kernel. Elsewhere (CPU oracle tests) the plain stack is fine."""
     m = len(cols)
-    if jax.default_backend() != "tpu" or m > 128:
+    if (
+        jax.default_backend() != "tpu"
+        or m > 128
+        or cols[0].dtype not in (jnp.float32, jnp.bfloat16)
+    ):
         return jnp.stack(cols, axis=1)
     ce = 512
     mp = -(-m // 8) * 8

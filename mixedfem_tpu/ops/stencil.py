@@ -1,0 +1,264 @@
+"""Structured-grid stencil fast path for the condensed-system CG matvec.
+
+When the tet mesh is a regular box grid (mesh/generators.box_tet_mesh: a
+vertex lattice with each cell split into 5 tets, parity-mirrored for face
+conformity), the sparse matvec needs NO gathers or scatters at all — the
+TPU-native form of A x is a 27-point stencil:
+
+  assemble  per-vertex-pair 3x3 blocks in OFFSET form: W[o, :, :, v] =
+            A[v, v+o] for o in {-1,0,1}^3, built once per Newton iteration
+            from the factored element blocks A_e = mass (x) I +
+            sum_i Gw_i Gw_i^T by ~160 masked pad-and-sum windows (2 cell
+            parities x 5 tet slots x 16 corner pairs). No scatter, no
+            dynamic-update-slice: every term is a zero-pad of a contiguous
+            cell-lattice window, summed functionally.
+  layout    vertices live FLAT on a ghost-padded lattice (NI+2, NJ+2,
+            NK+2) so every lattice offset is a constant flat shift; the
+            vertex index is the MINOR axis of W (full 128-lane tiles; a
+            trailing (3, 3) block layout would pad 9 elements to an (8,
+            128) tile — ~100x memory blowup, measured 53 ms/assembly).
+  matvec    y[a, v] = sum_{o, b} W[o, a, b, v] * x[b, v + shift_o]: 27
+            shifted elementwise block products, fused by XLA; ~27 MB of
+            HBM per matvec at 100k tets, zero irregular memory traffic.
+
+This plays the role the reference's assembled CSR + Eigen CG plays
+(src/utils/sparse_utils.cpp:120-171, linear_system.h:17-31) for its
+benchmark meshes, at HBM-streaming speed. General (unstructured) meshes
+use the fused windowed brick kernel (ops/brick.py) instead; the stencil
+plan builder returns None when the mesh is not a conforming box grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# offset id: oid = 9*(di+1) + 3*(dj+1) + (dk+1)
+OFFSETS = [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+           for dk in (-1, 0, 1)]
+
+
+@flax.struct.dataclass
+class StencilPlan:
+    """Static plan for the box-grid stencil path.
+
+    `terms` is a tuple of (parity, slot, a, b, (cai, caj, cak), oid)
+    assembly descriptors; `masks` holds the two cell-parity indicator
+    lattices. Element order MUST be cell-major, slot-minor (the builder
+    returns the permutation that achieves it)."""
+
+    masks: jnp.ndarray  # (2, NIc, NJc, NKc) 0/1
+    NI: int = flax.struct.field(pytree_node=False)
+    NJ: int = flax.struct.field(pytree_node=False)
+    NK: int = flax.struct.field(pytree_node=False)
+    nslots: int = flax.struct.field(pytree_node=False)
+    terms: tuple = flax.struct.field(pytree_node=False)
+    vec_terms: tuple = flax.struct.field(pytree_node=False)
+
+    @property
+    def nv(self) -> int:
+        return self.NI * self.NJ * self.NK
+
+    @property
+    def npad(self) -> int:
+        return (self.NI + 2) * (self.NJ + 2) * (self.NK + 2)
+
+
+def build_stencil_plan(
+    T: np.ndarray, nv: int, grid_dims: tuple[int, int, int] | None = None
+) -> tuple[Optional[StencilPlan], Optional[np.ndarray]]:
+    """Detect the box-grid structure of (T, nv) and build the plan.
+
+    grid_dims = (NI, NJ, NK) vertex lattice dims with
+    vid = (i*NJ + j)*NK + k (box_tet_mesh's layout). Returns
+    (plan, element_permutation) — reorder T (and any per-element data)
+    with the permutation BEFORE building the mesh — or (None, None) when
+    the mesh is not a conforming grid of uniform element classes."""
+    T = np.asarray(T)
+    if grid_dims is None:
+        return None, None
+    NI, NJ, NK = grid_dims
+    if NI * NJ * NK != nv or T.shape[1] != 4:
+        return None, None
+    E, k = T.shape
+
+    i3 = np.stack([T // (NJ * NK), (T // NK) % NJ, T % NK], axis=-1)
+    cell = i3.min(axis=1)                      # (E, 3) lattice cell
+    ca = i3 - cell[:, None, :]                 # (E, 4, 3) corner offsets
+    if ca.min() < 0 or ca.max() > 1:
+        return None, None
+    NIc, NJc, NKc = NI - 1, NJ - 1, NK - 1
+    if E % (NIc * NJc * NKc) != 0:
+        return None, None
+    nslots = E // (NIc * NJc * NKc)
+    cellid = (cell[:, 0] * NJc + cell[:, 1]) * NKc + cell[:, 2]
+    perm = np.argsort(cellid, kind="stable")
+    counts = np.bincount(cellid, minlength=NIc * NJc * NKc)
+    if (counts != nslots).any():
+        return None, None
+    parity = (cell[:, 0] + cell[:, 1] + cell[:, 2]) % 2
+
+    # class = (parity, slot); verify every element of a class shares the
+    # corner-offset pattern
+    slot = np.empty(E, np.int64)
+    slot[perm] = np.arange(E) % nslots
+    terms = []
+    for p in (0, 1):
+        for t in range(nslots):
+            sel = np.flatnonzero((parity == p) & (slot == t))
+            if len(sel) == 0:
+                continue
+            ca0 = ca[sel[0]]
+            if not (ca[sel] == ca0).all():
+                return None, None
+            for a in range(k):
+                for b in range(k):
+                    d = ca0[b] - ca0[a]
+                    oid = 9 * (d[0] + 1) + 3 * (d[1] + 1) + (d[2] + 1)
+                    terms.append(
+                        (p, t, a, b, tuple(int(c) for c in ca0[a]),
+                         int(oid))
+                    )
+    # per-corner vector-scatter terms (rhs assembly): (p, t, a, ca)
+    vec_terms = tuple(
+        (p, t, a, caa) for (p, t, a, b, caa, _o) in terms if b == 0
+    )
+
+    pc = ((np.add.outer(np.add.outer(np.arange(NIc), np.arange(NJc)),
+                        np.arange(NKc))) % 2)
+    masks = np.stack([(pc == 0), (pc == 1)]).astype(np.float32)
+    plan = StencilPlan(
+        masks=jnp.asarray(masks),
+        NI=NI, NJ=NJ, NK=NK, nslots=nslots,
+        terms=tuple(terms), vec_terms=vec_terms,
+    )
+    return plan, perm
+
+
+def _lattice(plan: StencilPlan, rows: jnp.ndarray):
+    """(E, ...) element data (cell-major, slot-minor order) ->
+    (NIc, NJc, NKc, nslots, ...)."""
+    NIc, NJc, NKc = plan.NI - 1, plan.NJ - 1, plan.NK - 1
+    return rows.reshape((NIc, NJc, NKc, plan.nslots) + rows.shape[1:])
+
+
+def assemble_W(
+    plan: StencilPlan,
+    Gw: jnp.ndarray,          # (E, N, k, d) factored stretch rows
+    mass: jnp.ndarray,        # (E, k, k) consistent-mass coefficients
+) -> jnp.ndarray:
+    """Offset-form system blocks W (27, d, d, npad) on the ghost-padded
+    flat vertex lattice — one masked pad-and-sum window per
+    (parity, slot, corner-pair); no scatter, no dynamic-update-slice.
+
+    Layout discipline: ALL per-term products run feature-major with the
+    cell index as the minor axis ((d, d, ncells) broadcasts of contiguous
+    (ncells,) feature rows). The naive batched einsum over trailing
+    (d, d) blocks lowered to convolution/broadcast fusions at ~9/512 lane
+    utilization — measured ~30 ms per assembly at 100k tets; this form is
+    ~1 ms of VPU work."""
+    E, N, k, d = Gw.shape
+    ns = plan.nslots
+    NIc, NJc, NKc = plan.NI - 1, plan.NJ - 1, plan.NK - 1
+    ncells = NIc * NJc * NKc
+    # (ns, N*k*d, ncells): slot-major feature rows, cells minor
+    GwS = jnp.transpose(
+        Gw.reshape(ncells, ns, N * k * d), (1, 2, 0)
+    )
+    MS = jnp.transpose(mass.reshape(ncells, ns, k * k), (1, 2, 0))
+    mk = plan.masks.reshape(2, ncells).astype(Gw.dtype)
+    eye = jnp.eye(d, dtype=Gw.dtype)[:, :, None]
+
+    planes = [None] * 27
+    for (p, t, a, b, ca, oid) in plan.terms:
+        acc = None
+        for n in range(N):
+            g1 = GwS[t, n * k * d + a * d : n * k * d + (a + 1) * d]
+            g2 = GwS[t, n * k * d + b * d : n * k * d + (b + 1) * d]
+            term = g1[:, None, :] * g2[None, :, :]   # (d, d, ncells)
+            acc = term if acc is None else acc + term
+        C = acc + MS[t, a * k + b][None, None, :] * eye
+        C = C * mk[p]
+        C = C.reshape(d, d, NIc, NJc, NKc)
+        ci, cj, ck = ca
+        Cp = jnp.pad(
+            C,
+            (
+                (0, 0), (0, 0),
+                (1 + ci, plan.NI + 1 - ci - NIc),
+                (1 + cj, plan.NJ + 1 - cj - NJc),
+                (1 + ck, plan.NK + 1 - ck - NKc),
+            ),
+        )
+        planes[oid] = Cp if planes[oid] is None else planes[oid] + Cp
+    zero = jnp.zeros(
+        (d, d, plan.NI + 2, plan.NJ + 2, plan.NK + 2), Gw.dtype
+    )
+    W = jnp.stack([pl if pl is not None else zero for pl in planes])
+    return W.reshape(27, d, d, plan.npad)
+
+
+def scatter_vec(plan: StencilPlan, rows: jnp.ndarray) -> jnp.ndarray:
+    """Per-element-corner vector contributions (E, k, m) -> vertex sums
+    (nv, m) via ~40 masked pad-and-sum windows (replaces the segment_sum
+    scatter for rhs/assembly on grid meshes). Feature-major layout: see
+    assemble_W."""
+    E, k, m = rows.shape
+    ns = plan.nslots
+    NI, NJ, NK = plan.NI, plan.NJ, plan.NK
+    NIc, NJc, NKc = NI - 1, NJ - 1, NK - 1
+    ncells = NIc * NJc * NKc
+    RS = jnp.transpose(rows.reshape(ncells, ns, k * m), (1, 2, 0))
+    mk = plan.masks.reshape(2, ncells).astype(rows.dtype)
+    out = None
+    for (p, t, a, (ci, cj, ck)) in plan.vec_terms:
+        C = RS[t, a * m : (a + 1) * m] * mk[p]    # (m, ncells)
+        C = C.reshape(m, NIc, NJc, NKc)
+        Cp = jnp.pad(
+            C,
+            (
+                (0, 0),
+                (ci, NI - ci - NIc),
+                (cj, NJ - cj - NJc),
+                (ck, NK - ck - NKc),
+            ),
+        )
+        out = Cp if out is None else out + Cp
+    return jnp.transpose(out.reshape(m, plan.nv))
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _stencil_matvec(W, x, dims):
+    NI, NJ, NK, d = dims
+    NIp, NJp, NKp = NI + 2, NJ + 2, NK + 2
+    npad = NIp * NJp * NKp
+    x3 = x.reshape(NI, NJ, NK, d)
+    xp = jnp.pad(x3, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    xf = xp.reshape(npad, d).T                # (d, npad)
+    S = NJp * NKp + NKp + 1                   # max |flat shift|
+    xfe = jnp.pad(xf, ((0, 0), (S, S)))
+    y = jnp.zeros((d, npad), x.dtype)
+    for oid, (di, dj, dk) in enumerate(OFFSETS):
+        sh = (di * NJp + dj) * NKp + dk
+        xs = jax.lax.slice(xfe, (0, S + sh), (d, S + sh + npad))
+        y = y + jnp.einsum("abn,bn->an", W[oid], xs)
+    y3 = y.T.reshape(NIp, NJp, NKp, d)
+    return y3[1:-1, 1:-1, 1:-1].reshape(NI * NJ * NK, d)
+
+
+def stencil_matvec(plan: StencilPlan, W: jnp.ndarray, x: jnp.ndarray):
+    """y = A x with A in offset form; caller masks pinned rows/cols."""
+    return _stencil_matvec(W, x, (plan.NI, plan.NJ, plan.NK, x.shape[1]))
+
+
+def diag_blocks(plan: StencilPlan, W: jnp.ndarray) -> jnp.ndarray:
+    """(nv, d, d) diagonal blocks — the o=0 plane of W."""
+    d = W.shape[1]
+    NI, NJ, NK = plan.NI, plan.NJ, plan.NK
+    D = jnp.moveaxis(W[13], -1, 0).reshape(NI + 2, NJ + 2, NK + 2, d, d)
+    return D[1:-1, 1:-1, 1:-1].reshape(plan.nv, d, d)

@@ -30,6 +30,7 @@ from mixedfem_tpu.config import SimConfig
 from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.ops import brick as brickmod
+from mixedfem_tpu.ops import stencil as stmod
 from mixedfem_tpu.solvers import coarse as coarsemod
 from mixedfem_tpu.solvers import dual as dualmod
 from mixedfem_tpu.solvers import factory as solver_factory
@@ -340,11 +341,27 @@ def newton_step(
         # Banded Pallas assembly for the once-per-Newton scatters too
         # (inertia gradient, rhs, block-Jacobi blocks) when a plan exists.
         use_bassemble = (
-            isinstance(matvec_plan, (opmod.BandedPlan, brickmod.BrickPlan))
+            isinstance(
+                matvec_plan,
+                (opmod.BandedPlan, brickmod.BrickPlan, stmod.StencilPlan),
+            )
             and not mesh.shell
             and not hp
         )
-        if isinstance(matvec_plan, brickmod.BrickPlan):
+        if isinstance(matvec_plan, stmod.StencilPlan):
+            _E, _k = mesh.T.shape
+
+            def bassemble(contrib):
+                """(E, k, ...) corner contributions -> (nv, ...) via the
+                static masked window-adds of the grid stencil plan."""
+                m = 1
+                for sdim in contrib.shape[2:]:
+                    m *= sdim
+                out = stmod.scatter_vec(
+                    matvec_plan, contrib.reshape(_E, _k, m)
+                )
+                return out.reshape((mesh.nv,) + contrib.shape[2:])
+        elif isinstance(matvec_plan, brickmod.BrickPlan):
             _E, _k = mesh.T.shape
 
             def bassemble(contrib):
@@ -478,8 +495,17 @@ def newton_step(
             and not use_vanilla
             and not mesh.shell
         )
+        use_stencil = (
+            isinstance(matvec_plan, stmod.StencilPlan)
+            and use_mixed
+            and not use_vanilla
+            and not mesh.shell
+        )
         use_plan = (
-            matvec_plan is not None and not mesh.shell and not use_brick
+            matvec_plan is not None
+            and not mesh.shell
+            and not use_brick
+            and not use_stencil
         )
         plan_fn = (
             opmod.banded_matvec
@@ -506,9 +532,20 @@ def newton_step(
             Gw_rows, m_rows = brickmod.element_rows(mesh, coeffs)
             Gw_rows = brickmod.pad_rows(matvec_plan, Gw_rows)
             m_rows = brickmod.pad_rows(matvec_plan, m_rows)
+        if use_stencil:
+            # offset-form system blocks, assembled once per Newton
+            # iteration; each CG matvec is then a 27-point stencil
+            # (ops/stencil.py) with zero irregular memory traffic
+            W_st = stmod.assemble_W(
+                matvec_plan, coeffs.Gw, mesh.mass_coeff
+            )
 
         def A(p):
-            if use_brick:
+            if use_stencil:
+                out = stmod.stencil_matvec(
+                    matvec_plan, W_st, p
+                ) * mesh.free_mask[:, None]
+            elif use_brick:
                 out = brickmod.from_brick(
                     brickmod.brick_matvec(
                         matvec_plan, Gw_rows, m_rows,
