@@ -214,19 +214,30 @@ def main():
     # 100k tets on the accelerator (primary metric)
     import jax.numpy as jnp
 
-    from mixedfem_tpu.solvers.coarse import build_coarse_space
+    from mixedfem_tpu.solvers.coarse import (
+        build_coarse_space,
+        build_coarse_space_grid,
+    )
+
+    def _coarse(mesh, splan, target_size=48):
+        if splan is not None:
+            return build_coarse_space_grid(
+                np.asarray(mesh.V0), np.asarray(mesh.T),
+                ~np.asarray(mesh.free_mask, bool),
+                (splan.NI, splan.NJ, splan.NK), block=4,
+                dtype=jnp.float32,
+            )
+        return build_coarse_space(
+            np.asarray(mesh.V0), np.asarray(mesh.T),
+            ~np.asarray(mesh.free_mask, bool),
+            target_size=target_size, dtype=jnp.float32,
+        )
 
     from mixedfem_tpu.solvers.operator import build_banded_plan
 
     mesh, config, state, ntets = build(40, 25, 20, "float32")  # 100k tets
     plan = _make_plan(mesh, build.last_stencil_plan)
-    cs = build_coarse_space(
-        np.asarray(mesh.V0),
-        np.asarray(mesh.T),
-        ~np.asarray(mesh.free_mask, bool),
-        target_size=48,
-        dtype=jnp.float32,
-    )
+    cs = _coarse(mesh, build.last_stencil_plan)
     state = state.replace(
         precond=jnp.zeros((cs.ncd, cs.ncd), jnp.float32)
     )
@@ -261,13 +272,7 @@ def main():
     # 10k tets accelerator vs CPU for vs_baseline (same solver config both)
     mesh, config, state, nt10 = build(20, 10, 10, "float32")  # 10k tets
     plan10_stencil = build.last_stencil_plan
-    cs10 = build_coarse_space(
-        np.asarray(mesh.V0),
-        np.asarray(mesh.T),
-        ~np.asarray(mesh.free_mask, bool),
-        target_size=48,
-        dtype=jnp.float32,
-    )
+    cs10 = _coarse(mesh, build.last_stencil_plan)
     state = state.replace(
         precond=jnp.zeros((cs10.ncd, cs10.ncd), jnp.float32)
     )

@@ -441,7 +441,16 @@ def newton_step(
                     )
                 else:
                     b = b + ms.rhs(mesh, coeffs, s)
-            if use_bassemble and not hp:
+            if isinstance(matvec_plan, stmod.StencilPlan) and not hp:
+                # assemble the offset-form blocks here and use their o=0
+                # plane as the (exact) block-Jacobi diagonal — replaces
+                # the lumped-mass + stretch-diag approximation AND the
+                # separate diag scatter
+                W_st = stmod.assemble_W(
+                    matvec_plan, coeffs.Gw, mesh.mass_coeff
+                )
+                blocks = stmod.diag_blocks(matvec_plan, W_st)
+            elif use_bassemble and not hp:
                 blocks = blocks + bassemble(
                     ms.diag_blocks_contrib(mesh, coeffs)
                 ).reshape(mesh.nv, mesh.dim, mesh.dim)
@@ -532,10 +541,8 @@ def newton_step(
             Gw_rows, m_rows = brickmod.element_rows(mesh, coeffs)
             Gw_rows = brickmod.pad_rows(matvec_plan, Gw_rows)
             m_rows = brickmod.pad_rows(matvec_plan, m_rows)
-        if use_stencil:
-            # offset-form system blocks, assembled once per Newton
-            # iteration; each CG matvec is then a 27-point stencil
-            # (ops/stencil.py) with zero irregular memory traffic
+        if use_stencil and hp:
+            # (non-hp stencil steps assembled W at the diag-blocks stage)
             W_st = stmod.assemble_W(
                 matvec_plan, coeffs.Gw, mesh.mass_coeff
             )
@@ -648,11 +655,12 @@ def newton_step(
             else:
                 bj = pcgmod.block_jacobi_inv(blocks, mesh.free_mask)
             if coarse is not None:
+                _tl = coarsemod.two_level_preconditioner(
+                    coarse, mesh.free_mask, bj, mesh.dim
+                )
 
                 def Minv(r):
-                    return coarsemod.two_level_apply(
-                        coarse, mesh.free_mask, Ac_inv, bj, r, mesh.dim
-                    )
+                    return _tl(r, Ac_inv)
             else:
                 Minv = bj
 

@@ -29,7 +29,13 @@ from mixedfem_tpu.variables.mixed_stretch import StretchCoeffs
 
 @flax.struct.dataclass
 class CoarseSpace:
-    """Static aggregation data."""
+    """Static aggregation data.
+
+    `grid` (optional) marks lattice-block aggregation on a structured
+    vertex lattice: ((NI, NJ, NK), (bi, bj, bk)) with aggregates =
+    lattice blocks in row-major block order. When set, restrict/prolong
+    run as reshape-sums instead of segment_sum (see
+    grid_two_level_preconditioner) — ~3x cheaper per CG iteration."""
 
     agg_id: jnp.ndarray      # (nv,) int32 aggregate per vertex
     r: jnp.ndarray           # (nv, 3) X_v - centroid(agg) (masked at pins)
@@ -37,6 +43,7 @@ class CoarseSpace:
     pair_rows: jnp.ndarray   # (npairs,) int32 aggregate row of each bucket
     pair_cols: jnp.ndarray   # (npairs,) int32 aggregate col
     naggr: int = flax.struct.field(pytree_node=False)
+    grid: tuple | None = flax.struct.field(pytree_node=False, default=None)
 
     @property
     def ncd(self) -> int:
@@ -90,6 +97,81 @@ def build_coarse_space(
         pair_rows=jnp.asarray((uniqp // naggr).astype(np.int32)),
         pair_cols=jnp.asarray((uniqp % naggr).astype(np.int32)),
         naggr=naggr,
+    )
+
+
+def build_coarse_space_grid(
+    V: np.ndarray,
+    T: np.ndarray,
+    is_fixed: np.ndarray,
+    grid_dims: tuple[int, int, int],
+    block=None,
+    target_size: int = 48,
+    dtype=jnp.float32,
+) -> CoarseSpace:
+    """Lattice-block aggregation for structured box-grid meshes
+    (ops/stencil.py): aggregate = (bi, bj, bk) vertex sub-lattice. Same
+    CoarseSpace contract as build_coarse_space, plus the `grid` marker
+    enabling reshape-sum restrict/prolong. `block=None` picks per-axis
+    sizes so blocks are ~physically cubic with ~target_size vertices
+    (elongated index blocks on anisotropic lattices measurably weaken
+    the coarse space: 33 -> 47 CG iters on the 100k beam)."""
+    V = np.asarray(V)
+    nv, d = V.shape
+    NI, NJ, NK = grid_dims
+    assert NI * NJ * NK == nv
+    if block is None:
+        spacing = np.array(
+            [
+                (V[:, 0].max() - V[:, 0].min()) / max(NI - 1, 1),
+                (V[:, 1].max() - V[:, 1].min()) / max(NJ - 1, 1),
+                (V[:, 2].max() - V[:, 2].min()) / max(NK - 1, 1)
+                if d > 2
+                else 1.0,
+            ]
+        )
+        spacing = np.maximum(spacing, 1e-12)
+        edge = (np.prod(spacing) * target_size) ** (1.0 / 3.0)
+        block = np.maximum(
+            1, np.rint(edge / spacing).astype(int)
+        )
+    if np.isscalar(block):
+        block = (int(block),) * 3
+    bi, bj, bk = int(block[0]), int(block[1]), int(block[2])
+    nbi, nbj, nbk = -(-NI // bi), -(-NJ // bj), -(-NK // bk)
+    ii, jj, kk = np.meshgrid(
+        np.arange(NI), np.arange(NJ), np.arange(NK), indexing="ij"
+    )
+    agg_id = ((ii // bi) * nbj + (jj // bj)) * nbk + (kk // bk)
+    agg_id = agg_id.reshape(-1).astype(np.int64)
+    naggr = nbi * nbj * nbk
+
+    cent = np.zeros((naggr, d))
+    cnt = np.zeros(naggr)
+    np.add.at(cent, agg_id, V)
+    np.add.at(cnt, agg_id, 1.0)
+    cent /= np.maximum(cnt, 1.0)[:, None]
+    r = V - cent[agg_id]
+    if d == 2:
+        r = np.concatenate([r, np.zeros((nv, 1))], axis=1)
+    r[np.asarray(is_fixed, bool)] = 0.0
+
+    T = np.asarray(T)
+    E, k = T.shape
+    ak = agg_id[T]
+    prs = np.stack(
+        [np.repeat(ak, k, axis=1), np.tile(ak, (1, k))], axis=-1
+    ).reshape(-1, 2)
+    flatp = prs[:, 0] * naggr + prs[:, 1]
+    uniqp, pid = np.unique(flatp, return_inverse=True)
+    return CoarseSpace(
+        agg_id=jnp.asarray(agg_id, jnp.int32),
+        r=jnp.asarray(r, dtype),
+        pair_id=jnp.asarray(pid.reshape(E, k, k), jnp.int32),
+        pair_rows=jnp.asarray((uniqp // naggr).astype(np.int32)),
+        pair_cols=jnp.asarray((uniqp % naggr).astype(np.int32)),
+        naggr=naggr,
+        grid=((NI, NJ, NK), (bi, bj, bk)),
     )
 
 
@@ -182,9 +264,13 @@ def coarse_matrix(
         Ac = Ac.at[rows[:, :, None], :, rows[:, None, :], :].add(blocks_c)
 
     Ac = Ac.reshape(ncd, ncd)
-    # Ridge for aggregates with all-pinned vertices / rank deficiency.
-    scale = jnp.trace(Ac) / ncd + 1e-30
-    return Ac + (1e-6 * scale) * jnp.eye(ncd, dtype=dt)
+    # Ridge for aggregates with all-pinned vertices / rank deficiency,
+    # AND for f32 Galerkin-assembly roundoff: at ncd ~ 5-7k the assembled
+    # Ac picks up O(eps * ||Ac||) negative eigenvalues (measured -1.7e-3
+    # at lambda_max 5.4e3) which make Newton-Schulz diverge to NaN. Scale
+    # the ridge by the inf-norm (>= lambda_max), not the mean diagonal.
+    scale = jnp.max(jnp.sum(jnp.abs(Ac), axis=1)) + 1e-30
+    return Ac + (3e-6 * scale) * jnp.eye(ncd, dtype=dt)
 
 
 def coarse_inverse(Ac: jnp.ndarray) -> jnp.ndarray:
@@ -248,6 +334,57 @@ def two_level_apply(cs: CoarseSpace, free_mask, Ac_inv, bj_apply, r, dim):
     rc = restrict(cs, free_mask, r).reshape(-1)
     zc = (Ac_inv @ rc).reshape(cs.naggr, 6)
     return z + prolong(cs, free_mask, zc, dim) * free_mask[:, None]
+
+
+def two_level_preconditioner(cs: CoarseSpace, free_mask, bj_apply, dim):
+    """Factory form of two_level_apply with the per-vertex rigid-mode
+    matrix hoisted out of the CG loop; when `cs.grid` is set the
+    aggregate restriction/prolongation run as lattice reshape-sums /
+    broadcasts instead of segment_sum/gather (the aggregates are exact
+    lattice blocks)."""
+    B = _vert_modes(cs, free_mask, dim)       # (nv, dim, 6)
+    fm = free_mask[:, None]
+
+    if cs.grid is not None:
+        (NI, NJ, NK), (bi, bj_, bk) = cs.grid
+        nbi, nbj, nbk = -(-NI // bi), -(-NJ // bj_), -(-NK // bk)
+        pad = (
+            (0, nbi * bi - NI), (0, nbj * bj_ - NJ),
+            (0, nbk * bk - NK),
+        )
+
+        def _restrict(w):  # (nv, 6) -> (naggr, 6)
+            w3 = jnp.pad(w.reshape(NI, NJ, NK, 6), pad + ((0, 0),))
+            return (
+                w3.reshape(nbi, bi, nbj, bj_, nbk, bk, 6)
+                .sum(axis=(1, 3, 5))
+                .reshape(cs.naggr, 6)
+            )
+
+        def _prolong_modes(zc):  # (naggr, 6) -> (nv, 6)
+            z6 = jnp.broadcast_to(
+                zc.reshape(nbi, 1, nbj, 1, nbk, 1, 6),
+                (nbi, bi, nbj, bj_, nbk, bk, 6),
+            ).reshape(nbi * bi, nbj * bj_, nbk * bk, 6)
+            return z6[:NI, :NJ, :NK].reshape(NI * NJ * NK, 6)
+    else:
+
+        def _restrict(w):
+            return jax.ops.segment_sum(
+                w, cs.agg_id, num_segments=cs.naggr
+            )
+
+        def _prolong_modes(zc):
+            return zc[cs.agg_id]
+
+    def apply(r, Ac_inv):
+        z = bj_apply(r)
+        rc = _restrict(jnp.einsum("nda,nd->na", B, r)).reshape(-1)
+        zc = (Ac_inv @ rc).reshape(cs.naggr, 6)
+        zv = _prolong_modes(zc)
+        return z + jnp.einsum("nda,na->nd", B, zv) * fm
+
+    return apply
 
 
 def brick_preconditioner(
