@@ -97,11 +97,19 @@ def time_steps(mesh, config, state, n_steps=5, coarse=None, plan=None):
     return dt_ms, it, cg, state
 
 
-def stage_breakdown(mesh, config, state, coarse=None, reps=5):
+def stage_breakdown(mesh, config, state, coarse=None, reps=5, plan=None):
     """Per-stage wall-clock (the reference's timing.csv categories:
     rotations/derivatives -> update, linsolve -> matvec x CG iters, LS ->
     energy evals, assemble -> scatter inside matvec). Stages are jitted
-    separately here since the production step fuses them in one program."""
+    separately here since the production step fuses them in one program.
+
+    CAVEAT: separate-jit stage timings OVERSTATE in-step costs by a large
+    factor for stages consuming per-element coefficient tensors: at the
+    jit boundary XLA materializes e.g. Gw (E, 6, 4, 3) with its trailing
+    (4, 3) dims padded to an (8, 128) tile (~85x bytes), so standalone
+    reads are layout-bound. Inside the fused production step those
+    tensors never take that layout. For true in-step attribution use
+    jax.profiler.trace around newton_step and the HLO stats tool."""
     import jax
     import jax.numpy as jnp
 
@@ -127,8 +135,21 @@ def stage_breakdown(mesh, config, state, coarse=None, reps=5):
     upd = jax.jit(lambda x, s: ms.update(mesh, x, s, dt))
     out["update_ms"] = round(timed(upd, x, s), 3)
     coeffs = upd(x, s)
-    mv = jax.jit(lambda p: opmod.element_matvec(mesh, p, ms_coeffs=coeffs))
-    out["matvec_ms"] = round(timed(mv, jnp.ones_like(x)), 3)
+    from mixedfem_tpu.ops import stencil as stmod
+
+    if isinstance(plan, stmod.StencilPlan):
+        fW = jax.jit(
+            lambda c: stmod.assemble_W(plan, c.Gw, mesh.mass_coeff)
+        )
+        out["stencil_assemble_ms"] = round(timed(fW, coeffs), 3)
+        W = fW(coeffs)
+        smv = jax.jit(lambda p: stmod.stencil_matvec(plan, W, p))
+        out["matvec_ms"] = round(timed(smv, jnp.ones_like(x)), 3)
+    else:
+        mv = jax.jit(
+            lambda p: opmod.element_matvec(mesh, p, ms_coeffs=coeffs)
+        )
+        out["matvec_ms"] = round(timed(mv, jnp.ones_like(x)), 3)
     en = jax.jit(
         lambda x: disp.energy(mesh, state.bdf, x)
         + dt * dt * ms.energy(mesh, s)
@@ -148,27 +169,37 @@ def stage_breakdown(mesh, config, state, coarse=None, reps=5):
     return out
 
 
-def flop_byte_estimate(ntets, newton_iters, cg_total):
+def flop_byte_estimate(ntets, newton_iters, cg_total, nv=None,
+                       path="stencil"):
     """Analytic useful-work accounting for the flagship step (documented
     per-term; the honest MFU denominator is the v5e bf16 MXU peak since
     f32 matmuls execute as bf16 passes).
 
     Per-element flop counts (mixed-stretch tets, N=6, k=4, d=3):
-      matvec    q=GwPe (72 MAC) + emission (72) + mass (48) = 384 flops
       update    batched Jacobi eigensolve + polar + dsdF + material
                 derivatives + PSD fix                      ~ 4600 flops
       assembly  rhs + diag blocks + Gw build               ~ 1200 flops
       linesearch energy (F rebuild + polar + psi) per eval ~ 1600 flops
-    HBM bytes: each matvec streams Gw (N*k*d) + mass (k*k) + indices
-    (2k int32) per element + CG vector traffic."""
+    matvec per path:
+      stencil   y[v] = sum_o W_o[v] x[v+o]: nv * 27 * (9 MAC) = 486/vert,
+                plus per-Newton offset-form assembly E * 16 pairs * 54
+                MAC = 864/elem; HBM streams W (27*9*npad f32) + vectors
+      brick     q=GwPe (72 MAC) + emission (72) + mass (48) = 384/elem;
+                HBM streams Gw + mass + indices per element"""
     E = ntets
     n_mv = cg_total + newton_iters          # +1 matvec per solve for r0
     flops = (
-        n_mv * 384 * E
-        + newton_iters * (4600 + 1200) * E
+        newton_iters * (4600 + 1200) * E
         + 2 * newton_iters * 1600 * E
     )
-    bytes_hbm = n_mv * E * 4 * (6 * 4 * 3 + 4 * 4 + 8) + n_mv * 64 * E
+    if path == "stencil" and nv:
+        flops += n_mv * 486 * nv + newton_iters * 864 * E
+        bytes_hbm = n_mv * (27 * 9 * nv * 4 + 8 * nv * 3 * 4)
+    else:
+        flops += n_mv * 384 * E
+        bytes_hbm = (
+            n_mv * E * 4 * (6 * 4 * 3 + 4 * 4 + 8) + n_mv * 64 * E
+        )
     return flops, bytes_hbm
 
 
@@ -224,7 +255,7 @@ def main():
             return build_coarse_space_grid(
                 np.asarray(mesh.V0), np.asarray(mesh.T),
                 ~np.asarray(mesh.free_mask, bool),
-                (splan.NI, splan.NJ, splan.NK), block=4,
+                (splan.NI, splan.NJ, splan.NK),
                 dtype=jnp.float32,
             )
         return build_coarse_space(
@@ -246,13 +277,19 @@ def main():
     )
     extras["tets_100k"] = ntets
     extras["coarse_aggregates"] = cs.naggr
+    extras["matvec_path"] = type(plan).__name__ if plan is not None else "xla"
     if cli.stages:
-        extras["stages_100k"] = stage_breakdown(mesh, config, state, coarse=cs)
+        extras["stages_100k"] = stage_breakdown(
+            mesh, config, state, coarse=cs, plan=plan
+        )
     extras["newton_iters"] = it
     extras["cg_iters_per_newton"] = [int(c) for c in cg]
 
     # analytic useful-work accounting (VERDICT r2: report MFU/flops)
-    flops, bytes_hbm = flop_byte_estimate(ntets, it, int(sum(cg)))
+    flops, bytes_hbm = flop_byte_estimate(
+        ntets, it, int(sum(cg)), nv=mesh.nv,
+        path="stencil" if build.last_stencil_plan is not None else "brick",
+    )
     extras["useful_gflop_per_step"] = round(flops / 1e9, 2)
     extras["achieved_gflops"] = round(flops / (ms_100k / 1e3) / 1e9, 1)
     # v5e bf16 MXU peak 197 TFLOPS (f32 matmuls run as bf16 passes)
@@ -264,9 +301,11 @@ def main():
         bytes_hbm / (ms_100k / 1e3) / 1e9, 1
     )
     extras["bound_note"] = (
-        "FEM SpMV/assembly is irregular-memory-bound, not FLOP-bound: "
-        "MFU is structurally low; the relevant ceilings are the gather/"
-        "scatter row rate and HBM bandwidth"
+        "FEM SpMV/assembly is memory-bound, not FLOP-bound: MFU is "
+        "structurally low. On the structured-grid stencil path the "
+        "ceiling is HBM streaming of the offset-form blocks W (27*9 f32/"
+        "vertex/matvec); on unstructured meshes it is the one-hot MXU "
+        "row rate (~1 K-cycle per scattered scalar, ops/brick.py)"
     )
 
     # 10k tets accelerator vs CPU for vs_baseline (same solver config both)

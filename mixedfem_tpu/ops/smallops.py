@@ -45,7 +45,10 @@ def interleave_cols(cols: list, E: int) -> jnp.ndarray:
     (4-byte writes on a 288-byte stride — measured 24 ms/step at E=100k,
     m=72 in the profile). On TPU: stack along the LEADING axis instead
     (m contiguous row writes), then transpose in VMEM chunks with a tiny
-    Pallas kernel. Elsewhere (CPU oracle tests) the plain stack is fine."""
+    Pallas kernel. The branch is selected at LOWERING time with
+    lax.platform_dependent (a default_backend() check breaks jit'd CPU
+    runs under an active TPU plugin: the Pallas call would trace into a
+    CPU executable, which only supports interpret mode)."""
     m = len(cols)
     if (
         jax.default_backend() != "tpu"
@@ -57,10 +60,26 @@ def interleave_cols(cols: list, E: int) -> jnp.ndarray:
     mp = -(-m // 8) * 8
     Ep = -(-E // ce) * ce
     s = jnp.stack(cols, axis=0)
-    s = jnp.pad(s, ((0, mp - m), (0, Ep - E)))
-    # keep the cheap row-major stack from re-fusing into the transpose
-    s = jax.lax.optimization_barrier(s)
-    return _pallas_interleave(s, ce=ce)[:E, :m]
+
+    def _tpu(s):
+        sp = jnp.pad(s, ((0, mp - m), (0, Ep - E)))
+        # keep the cheap row-major stack from re-fusing into the transpose
+        sp = jax.lax.optimization_barrier(sp)
+        return _pallas_interleave(sp, ce=ce)[:E, :m]
+
+    def _plain(s):
+        return s.T
+
+    try:
+        # selected at LOWERING time: a TPU session compiling a CPU-device
+        # executable (the bench's CPU baseline) must not lower the Pallas
+        # call into the CPU program
+        return jax.lax.platform_dependent(s, tpu=_tpu, default=_plain)
+    except ValueError:
+        # tracing the pallas_call under shard_map trips the vma check
+        # (no `vma` on its ShapeDtypeStruct) — use the plain transpose
+        # inside sharded regions (parallel/vp_step.py)
+        return _plain(s)
 
 
 def contract_D_dphi(D: jnp.ndarray, dphi: jnp.ndarray) -> jnp.ndarray:

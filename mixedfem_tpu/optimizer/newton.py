@@ -167,12 +167,18 @@ def mixed_contact_merit(
     return e + jnp.sum(cla * (D_t - cd_t) * m)
 
 
-def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla):
+def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla,
+                  Sv=None):
     """The merit function of the line search (newton_optimizer.cpp:63-78):
-    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars]."""
+    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars].
+
+    `Sv` short-circuits the constraint term's polar decomposition when
+    S(x) is already known at this exact x (see constraint_value)."""
     E = disp.energy(mesh, bdf, x)
     if use_mixed:
-        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(mesh, x, s, la)
+        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(
+            mesh, x, s, la, Sv=Sv
+        )
     if use_vanilla:
         E = E + h2 * vstretch.energy(mesh, x)
     return E
@@ -794,10 +800,10 @@ def newton_step(
         if hp:
             dx64 = dx.astype(jnp.float64)
 
-            def merit64(a):
+            def merit64(a, Sv=None):
                 e = _total_energy(
                     mesh_hp, bdf_hp, h2, x64 + a * dx64,
-                    s64 + a * ds64, la64, use_mixed, use_vanilla,
+                    s64 + a * ds64, la64, use_mixed, use_vanilla, Sv=Sv,
                 )
                 if use_contact:
                     e = e + mixed_contact_merit(
@@ -807,11 +813,15 @@ def newton_step(
                     )
                 return e
 
-            E64_full = merit64(jnp.zeros((), jnp.float64))
+            E64_full = merit64(
+                jnp.zeros((), jnp.float64),
+                Sv=coeffs_hp.Sv if use_mixed else None,
+            )
             E = E64_full.astype(dtype)
         else:
             E = _total_energy(
-                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla
+                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla,
+                Sv=coeffs.Sv if use_mixed else None,
             ) + contact_energy(x, cd_cur)
         res_new = jnp.abs((E - E_prev) / (E + 1e-6))
 

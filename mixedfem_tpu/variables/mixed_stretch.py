@@ -192,10 +192,16 @@ def energy(mesh: meshmod.MeshData, s: jnp.ndarray):
 
 
 def constraint_value(
-    mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, la: jnp.ndarray
+    mesh: meshmod.MeshData, x: jnp.ndarray, s: jnp.ndarray, la: jnp.ndarray,
+    Sv: jnp.ndarray | None = None,
 ):
-    """sum_e vol la^T Sym (S(x) - s) (reference mixed_stretch.cpp:110-156)."""
-    Sv, _ = stretch_of_x(mesh, x)
+    """sum_e vol la^T Sym (S(x) - s) (reference mixed_stretch.cpp:110-156).
+
+    Pass `Sv` when S(x) is already available (update() computed it at the
+    same x) to skip the F rebuild + polar decomposition — the dominant
+    cost of a merit evaluation."""
+    if Sv is None:
+        Sv, _ = stretch_of_x(mesh, x)
     w = sym.sym_weights(mesh.dim, dtype=s.dtype)
     return jnp.sum(mesh.vols * jnp.einsum("ei,ei->e", la, w * (Sv - s)))
 
