@@ -262,3 +262,98 @@ def diag_blocks(plan: StencilPlan, W: jnp.ndarray) -> jnp.ndarray:
     NI, NJ, NK = plan.NI, plan.NJ, plan.NK
     D = jnp.moveaxis(W[13], -1, 0).reshape(NI + 2, NJ + 2, NK + 2, d, d)
     return D[1:-1, 1:-1, 1:-1].reshape(plan.nv, d, d)
+
+
+# ---------------------------------------------------------------------------
+# lattice-resident CG: vectors stay (d, npad) feature-major across the whole
+# solve (one (nv, d) <-> lattice conversion per solve, not per matvec)
+# ---------------------------------------------------------------------------
+
+def to_lat(plan: StencilPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """(nv, d) -> (d, npad) ghost-padded feature-major."""
+    NI, NJ, NK = plan.NI, plan.NJ, plan.NK
+    d = x.shape[1]
+    x3 = x.reshape(NI, NJ, NK, d)
+    xp = jnp.pad(x3, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    return xp.reshape(plan.npad, d).T
+
+
+def from_lat(plan: StencilPlan, yl: jnp.ndarray) -> jnp.ndarray:
+    """(d, npad) -> (nv, d)."""
+    NI, NJ, NK = plan.NI, plan.NJ, plan.NK
+    d = yl.shape[0]
+    y3 = yl.T.reshape(NI + 2, NJ + 2, NK + 2, d)
+    return y3[1:-1, 1:-1, 1:-1].reshape(plan.nv, d)
+
+
+def matvec_lat(plan: StencilPlan, W, xl: jnp.ndarray) -> jnp.ndarray:
+    """y = A x on (d, npad) lattice vectors. Ghost rows of W are zero, so
+    ghost outputs stay zero; the caller masks pinned rows."""
+    d, npad = xl.shape
+    NIp, NJp, NKp = plan.NI + 2, plan.NJ + 2, plan.NK + 2
+    S = NJp * NKp + NKp + 1
+    xfe = jnp.pad(xl, ((0, 0), (S, S)))
+    y = jnp.zeros_like(xl)
+    for oid, (di, dj, dk) in enumerate(OFFSETS):
+        sh = (di * NJp + dj) * NKp + dk
+        xs = jax.lax.slice(xfe, (0, S + sh), (d, S + sh + npad))
+        y = y + jnp.einsum("abn,bn->an", W[oid], xs)
+    return y
+
+
+def lattice_two_level_preconditioner(plan: StencilPlan, cs, free_mask,
+                                     binv, dim: int):
+    """Two-level (or plain block-Jacobi when cs is None) preconditioner on
+    (d, npad) lattice vectors: block-Jacobi as an elementwise block
+    product in the matvec's own layout; the rigid-mode restriction/
+    prolongation as lattice reshape-sums (cs must be a grid-aligned
+    CoarseSpace from solvers/coarse.build_coarse_space_grid)."""
+    nv = free_mask.shape[0]
+    d = dim
+    # (d, d, npad) block-Jacobi inverse (zeros at ghosts and pins)
+    Binv_l = to_lat(plan, binv.reshape(nv, d * d)).reshape(d, d, -1)
+    fm_l = to_lat(
+        plan,
+        jnp.broadcast_to(free_mask[:, None], (nv, d)).astype(binv.dtype),
+    )
+
+    if cs is not None:
+        from mixedfem_tpu.solvers.coarse import _vert_modes
+
+        assert cs.grid is not None, "lattice precond needs a grid coarse space"
+        (NI, NJ, NK), (bi, bj_, bk) = cs.grid
+        nbi, nbj, nbk = -(-NI // bi), -(-NJ // bj_), -(-NK // bk)
+        B = _vert_modes(cs, free_mask, d)      # (nv, d, 6)
+        B_l = to_lat(plan, B.reshape(nv, d * 6)).reshape(d, 6, -1)
+        pad = (
+            (0, 0), (0, nbi * bi - NI), (0, nbj * bj_ - NJ),
+            (0, nbk * bk - NK),
+        )
+
+        def apply(rl, Ac_inv):
+            z = jnp.einsum("abn,bn->an", Binv_l, rl)
+            w = jnp.einsum("dan,dn->an", B_l, rl)   # (6, npad)
+            w3 = from_lat(plan, w).T.reshape(6, NI, NJ, NK)
+            rc = (
+                jnp.pad(w3, pad)
+                .reshape(6, nbi, bi, nbj, bj_, nbk, bk)
+                .sum(axis=(2, 4, 6))
+                .reshape(6, cs.naggr)
+            )
+            zc = (Ac_inv @ rc.T.reshape(-1)).reshape(cs.naggr, 6)
+            z6 = jnp.broadcast_to(
+                zc.T.reshape(6, nbi, 1, nbj, 1, nbk, 1),
+                (6, nbi, bi, nbj, bj_, nbk, bk),
+            ).reshape(6, nbi * bi, nbj * bj_, nbk * bk)
+            zv = z6[:, :NI, :NJ, :NK].reshape(6, nv)
+            zv_l = to_lat(plan, zv.T)
+            return (
+                z + jnp.einsum("dan,an->dn", B_l, zv_l)
+            ) * fm_l
+
+        return apply
+
+    def apply_bj(rl, Ac_inv=None):
+        return jnp.einsum("abn,bn->an", Binv_l, rl)
+
+    return apply_bj

@@ -167,18 +167,12 @@ def mixed_contact_merit(
     return e + jnp.sum(cla * (D_t - cd_t) * m)
 
 
-def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla,
-                  Sv=None):
+def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla):
     """The merit function of the line search (newton_optimizer.cpp:63-78):
-    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars].
-
-    `Sv` short-circuits the constraint term's polar decomposition when
-    S(x) is already known at this exact x (see constraint_value)."""
+    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars]."""
     E = disp.energy(mesh, bdf, x)
     if use_mixed:
-        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(
-            mesh, x, s, la, Sv=Sv
-        )
+        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(mesh, x, s, la)
     if use_vanilla:
         E = E + h2 * vstretch.energy(mesh, x)
     return E
@@ -592,12 +586,71 @@ def newton_step(
         # dots, axpys — runs on brick-layout vectors; the (nv, d) layout
         # round-trips (measured ~0.5 ms/iteration of pure data formatting
         # at 100k tets) happen once per solve instead of once per matvec.
+        use_stencil_cg = (
+            use_stencil
+            and solver in ("pcg", "pcg-block-jacobi")
+            and not (use_contact or use_vcollision or use_friction)
+            and (coarse is None or coarse.grid is not None)
+        )
         use_brick_cg = (
             use_brick
             and solver in ("pcg", "pcg-block-jacobi")
             and not (use_contact or use_vcollision or use_friction)
         )
-        if use_brick_cg:
+        if use_stencil_cg:
+            # Lattice-resident CG: vectors stay in the stencil's (d, npad)
+            # feature-major layout for the whole solve — matvec, block-
+            # Jacobi, two-level coarse apply, dots, axpys — with ONE
+            # (nv, d) <-> lattice round trip per solve.
+            eye_d = jnp.eye(mesh.dim, dtype=dtype)
+            maskv = mesh.free_mask[:, None, None]
+            blocks_reg = blocks * maskv + eye_d * (1.0 - maskv)
+            binv = pcgmod._small_inv(blocks_reg) * maskv
+            fm_l = stmod.to_lat(
+                matvec_plan,
+                jnp.broadcast_to(
+                    mesh.free_mask[:, None], (mesh.nv, mesh.dim)
+                ).astype(dtype),
+            )
+            Minv_lat = stmod.lattice_two_level_preconditioner(
+                matvec_plan, coarse, mesh.free_mask, binv, mesh.dim
+            )
+            if coarse is not None:
+                def Minv_l(rl):
+                    return Minv_lat(rl, Ac_inv)
+            else:
+                Minv_l = Minv_lat
+
+            def A_l(pl_):
+                return (
+                    stmod.matvec_lat(matvec_plan, W_st, pl_) * fm_l
+                )
+
+            dx0 = meshmod.project_free(mesh, target - x)
+            dx_l, cg_iters, cg_err = pcgmod.pcg(
+                A_l,
+                stmod.to_lat(matvec_plan, b),
+                stmod.to_lat(matvec_plan, dx0),
+                Minv_l,
+                max_iters=config.max_iterative_solver_iters,
+                tol=config.itr_tol,
+            )
+            dx = stmod.from_lat(matvec_plan, dx_l)
+
+            if use_mixed:
+                if hp:
+                    ds64, la64 = ms.local_solve(
+                        mesh_hp, coeffs_hp, s64, dx.astype(jnp.float64)
+                    )
+                    ds, la_new = ds64.astype(dtype), la64.astype(dtype)
+                else:
+                    ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+            else:
+                ds, la_new = jnp.zeros_like(s), la
+                if hp:
+                    ds64 = jnp.zeros_like(s64)
+                    la64 = la.astype(jnp.float64)
+        elif use_brick_cg:
             Hpad = matvec_plan.Hpad
             eye_d = jnp.eye(mesh.dim, dtype=dtype)
             maskv = mesh.free_mask[:, None, None]
@@ -800,10 +853,10 @@ def newton_step(
         if hp:
             dx64 = dx.astype(jnp.float64)
 
-            def merit64(a, Sv=None):
+            def merit64(a):
                 e = _total_energy(
                     mesh_hp, bdf_hp, h2, x64 + a * dx64,
-                    s64 + a * ds64, la64, use_mixed, use_vanilla, Sv=Sv,
+                    s64 + a * ds64, la64, use_mixed, use_vanilla,
                 )
                 if use_contact:
                     e = e + mixed_contact_merit(
@@ -813,15 +866,11 @@ def newton_step(
                     )
                 return e
 
-            E64_full = merit64(
-                jnp.zeros((), jnp.float64),
-                Sv=coeffs_hp.Sv if use_mixed else None,
-            )
+            E64_full = merit64(jnp.zeros((), jnp.float64))
             E = E64_full.astype(dtype)
         else:
             E = _total_energy(
-                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla,
-                Sv=coeffs.Sv if use_mixed else None,
+                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla
             ) + contact_energy(x, cd_cur)
         res_new = jnp.abs((E - E_prev) / (E + 1e-6))
 

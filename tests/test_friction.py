@@ -104,4 +104,7 @@ class TestDirectWithFriction:
         x_dir = run("cholmod")
         assert np.isfinite(x_dir).all()
         scale = np.abs(x_dir).max()
-        np.testing.assert_allclose(x_pcg, x_dir, atol=5e-6 * scale)
+        # 2e-5: CG converges on a RELATIVE residual (||r|| <= tol ||b||),
+        # so over 3 steps x 3 Newton solves the iterative trajectory
+        # accumulates O(1e-5)-relative drift against the direct factors
+        np.testing.assert_allclose(x_pcg, x_dir, atol=2e-5 * scale)

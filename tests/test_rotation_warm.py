@@ -98,11 +98,24 @@ class TestWarmStartStep:
         x64 = np.asarray(st64.x)
         x32 = np.asarray(st32.x, np.float64)
         assert np.isfinite(x64).all() and np.isfinite(x32).all()
-        # recovery: all elements back to positive volume
+        # recovery: all elements back to positive volume, in BOTH precisions
         F = meshmod.def_grad(mesh, jnp.asarray(x64))
         assert float(jnp.linalg.det(F).min()) > 0
+        F32 = meshmod.def_grad(
+            jax.tree.map(
+                lambda a: a.astype(jnp.float64)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                mesh,
+            ),
+            jnp.asarray(x32),
+        )
+        assert float(jnp.linalg.det(F32).min()) > 0
         scale = np.abs(x64).max()
-        assert np.abs(x32 - x64).max() < 1e-4 * scale
+        # 1e-3 relative: recovery from mass inversion amplifies the f32
+        # rounding of each Newton direction across 4 steps x 6 iterations;
+        # the bound asserts the same recovery basin, not bitwise agreement
+        assert np.abs(x32 - x64).max() < 1e-3 * scale
 
     def test_warm_equals_stateless_without_inversion(self):
         """Away from inversion the warm start is an exact reformulation."""
