@@ -108,6 +108,14 @@ class SimConfig:
     # the stateless branch-free SVD is cheaper and equivalent away from
     # inversion.
     rotation_warm_start: bool = False
+    # Precision scheme of the fused brick CG matvec on TPU (ops/brick.py):
+    # 'split' (default) = compensated bf16 hi/lo MXU products, ~2.7e-6
+    # relative matvec error; 'bf16' = single-pass rounded values, ~1.8e-3
+    # relative with ~half the scatter MXU passes — inexact-Newton mode
+    # (the merit/rhs stay exact, so Newton still converges; the search
+    # direction solves a ~1e-3-perturbed system). No effect on the
+    # stencil / XLA / CPU paths.
+    matvec_scheme: str = "split"
 
     show_data: bool = True
     show_timing: bool = True

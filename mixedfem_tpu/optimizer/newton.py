@@ -557,6 +557,7 @@ def newton_step(
                     brickmod.brick_matvec(
                         matvec_plan, Gw_rows, m_rows,
                         brickmod.to_brick(p, matvec_plan.Hpad), mesh.dim,
+                        scheme=config.matvec_scheme,
                     ),
                     mesh.nv, mesh.dim,
                 ) * mesh.free_mask[:, None]
@@ -674,7 +675,8 @@ def newton_step(
             def A_b(pb):
                 return (
                     brickmod.brick_matvec(
-                        matvec_plan, Gw_rows, m_rows, pb, mesh.dim
+                        matvec_plan, Gw_rows, m_rows, pb, mesh.dim,
+                        scheme=config.matvec_scheme,
                     )
                     * fm_b
                 )
