@@ -140,13 +140,6 @@ def build_stencil_plan(
     return plan, perm
 
 
-def _lattice(plan: StencilPlan, rows: jnp.ndarray):
-    """(E, ...) element data (cell-major, slot-minor order) ->
-    (NIc, NJc, NKc, nslots, ...)."""
-    NIc, NJc, NKc = plan.NI - 1, plan.NJ - 1, plan.NK - 1
-    return rows.reshape((NIc, NJc, NKc, plan.nslots) + rows.shape[1:])
-
-
 def assemble_W(
     plan: StencilPlan,
     Gw: jnp.ndarray,          # (E, N, k, d) factored stretch rows
