@@ -222,6 +222,31 @@ def _make_plan(mesh, stencil_plan=None):
     return plan if plan is not None else build_banded_plan(mesh)
 
 
+def _wait_for_accelerator(max_wait_s=600):
+    """The TPU tunnel occasionally drops (round-3 driver bench failed on a
+    transient 'backend setup/compile error (Unavailable)'). jax caches a
+    failed backend init for the process lifetime, so probe in a fresh
+    subprocess and only proceed here once a probe succeeds."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    while True:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=300,
+        )
+        if r.returncode == 0:
+            return True
+        if time.time() > deadline:
+            sys.stderr.write(
+                "bench: accelerator probe still failing after "
+                f"{max_wait_s}s:\n{r.stderr.decode()[-2000:]}\n"
+            )
+            return False
+        time.sleep(20)
+
+
 def main():
     import argparse
 
@@ -232,6 +257,8 @@ def main():
                     help="measure the JAX-CPU baseline at 100k tets "
                          "(~5 min; the honest north-star denominator)")
     cli = ap.parse_args()
+
+    _wait_for_accelerator()
 
     import jax
 
