@@ -116,6 +116,14 @@ class SimConfig:
     # direction solves a ~1e-3-perturbed system). No effect on the
     # stencil / XLA / CPU paths.
     matvec_scheme: str = "split"
+    # Laplacian preconditioner (solver 'pcg-laplacian'/'pcg-dualascent',
+    # the reference's eigen-pcg-laplacian / eigen-pcg-dualascent,
+    # solvers/laplacian.py): Chebyshev degree of the (M + kL)^{-1} apply
+    # (the TPU stand-in for the reference's SimplicialLLT solve) and the
+    # dual-ascent alternation count under contact
+    # (dual_ascent_preconditioner.h:217 max_iters_ = 10).
+    lap_cheby_degree: int = 16
+    da_iters: int = 10
 
     show_data: bool = True
     show_timing: bool = True

@@ -47,6 +47,8 @@ class Simulation:
     skinning: Tuple = ()  # per-object (V_render, F_render, tet_id, bary)
     # banded-element-order Pallas matvec plan (TPU only; solvers/operator.py)
     matvec_plan: object = None
+    # vertex coloring for the 'gauss-seidel' solve path
+    gs_plan: object = None
 
     def skinned_surfaces(self):
         """Advect attached render meshes (reference skinning export,
@@ -73,6 +75,7 @@ class Simulation:
         return newton_step(
             self.mesh, self.config, self.bc_specs, self.state,
             self.coarse, self.press_specs, self.matvec_plan,
+            self.gs_plan,
         )
 
     def step(self) -> SimState:
@@ -465,6 +468,14 @@ def load_scene(
             V, T, is_fixed, target_size=48, dtype=jdtype
         )
 
+    gs_plan = None
+    from mixedfem_tpu.solvers.factory import resolve_solver as _resolve
+
+    if _resolve(config.solver) == "gauss-seidel":
+        from mixedfem_tpu.solvers.gauss_seidel import build_gs_plan
+
+        gs_plan = build_gs_plan(T, nv_total, dtype=jdtype)
+
     # MechanicalPress controllers (press_force.h)
     from mixedfem_tpu.bc.boundary_conditions import boundary_groups
     from mixedfem_tpu.bc.press import PressSpec, press_init
@@ -524,4 +535,5 @@ def load_scene(
         press_specs=tuple(press_specs),
         skinning=tuple(skinning),
         matvec_plan=matvec_plan,
+        gs_plan=gs_plan,
     )

@@ -34,6 +34,8 @@ from mixedfem_tpu.ops import stencil as stmod
 from mixedfem_tpu.solvers import coarse as coarsemod
 from mixedfem_tpu.solvers import dual as dualmod
 from mixedfem_tpu.solvers import factory as solver_factory
+from mixedfem_tpu.solvers import gauss_seidel as gsmod
+from mixedfem_tpu.solvers import laplacian as lapmod
 from mixedfem_tpu.solvers import minres as mrmod
 from mixedfem_tpu.solvers import operator as opmod
 from mixedfem_tpu.solvers import pcg as pcgmod
@@ -187,11 +189,13 @@ def newton_step(
     coarse: coarsemod.CoarseSpace | None = None,
     press_specs: Tuple[pressmod.PressSpec, ...] = (),
     matvec_plan: opmod.GatherPlan | None = None,
+    gs_plan: gsmod.GSPlan | None = None,
 ) -> SimState:
     """One implicit BDF timestep. `coarse` enables the two-level
     rigid-body-coarse preconditioner (solvers/coarse.py); `matvec_plan`
     (opmod.build_gather_plan) switches the CG matvec to the gather-only
-    adjacency form (no scatter in the inner loop)."""
+    adjacency form (no scatter in the inner loop); `gs_plan`
+    (gsmod.build_gs_plan) is required by the 'gauss-seidel' solve path."""
     dt = bdfmod.bdf_dt(state.bdf)
     h2 = dt * dt
     dtype = state.x.dtype
@@ -218,15 +222,24 @@ def newton_step(
     if solver in ("minres-kkt", "dual-cg"):
         if not use_mixed:
             raise NotImplementedError(f"{solver} requires mixed-stretch")
-        if solver == "dual-cg" and (use_vanilla or use_friction or use_vcollision):
-            # The dual Schur eliminates dx through the LUMPED mass alone
-            # (linear_system.h:131-134); nodal Hessians (vanilla stretch /
-            # friction) cannot be folded into that elimination. The
-            # reference has the same structural restriction.
-            raise NotImplementedError(
-                "dual-cg eliminates dx via the lumped mass; nodal-Hessian "
-                "variables (stretch/friction) need 'pcg' or 'minres-kkt'"
-            )
+    if solver in ("pcg-laplacian", "pcg-dualascent") and not use_mixed:
+        # the reference throws "Using ARAP preconditioner without mixed
+        # vars" (laplacian_preconditioner.h:29-31)
+        raise NotImplementedError(f"{solver} requires mixed-stretch")
+    if solver == "gauss-seidel" and gs_plan is None:
+        raise ValueError(
+            "solver 'gauss-seidel' needs a vertex coloring: pass "
+            "gs_plan=gauss_seidel.build_gs_plan(mesh.T, mesh.nv)"
+        )
+    if solver == "dual-cg" and (use_vanilla or use_friction or use_vcollision):
+        # The dual Schur eliminates dx through the LUMPED mass alone
+        # (linear_system.h:131-134); nodal Hessians (vanilla stretch /
+        # friction) cannot be folded into that elimination. The
+        # reference has the same structural restriction.
+        raise NotImplementedError(
+            "dual-cg eliminates dx via the lumped mass; nodal-Hessian "
+            "variables (stretch/friction) need 'pcg' or 'minres-kkt'"
+        )
 
     # f64 islands for the cancellation-limited pieces (config.rhs_precision)
     hp = config.rhs_precision == "float64" and dtype != jnp.float64
@@ -237,7 +250,10 @@ def newton_step(
                 "(stretch + mixed contact); nodal collision/friction "
                 "variables run f32 — use dtype='float64' for those"
             )
-        if solver not in ("pcg", "pcg-block-jacobi", "pcg-diag"):
+        if solver not in (
+            "pcg", "pcg-block-jacobi", "pcg-diag",
+            "pcg-laplacian", "pcg-dualascent",
+        ):
             raise NotImplementedError(
                 "rhs_precision='float64' is implemented for the condensed "
                 "pcg paths (use dtype='float64' for the full-KKT paths)"
@@ -267,6 +283,21 @@ def newton_step(
     mesh = mesh.replace(ext_force=mesh.ext_force + press_ext)
 
     target = disp.target(mesh, state.bdf, blend=config.inertia_blend_factor)
+
+    # Laplacian preconditioner setup (solvers/laplacian.py): rest-state
+    # factored rows of L and hoisted power-iteration spectral estimates
+    # for M and L separately — the per-Newton Chebyshev bound
+    # lmax(M + kL) <= lmax(M) + k lmax(L) is then algebraic.
+    if solver in ("pcg-laplacian", "pcg-dualascent"):
+        GwL = lapmod.laplacian_rows(mesh)
+        lap_lmax_m = lapmod.power_lmax(
+            lambda p: lapmod.ml_matvec(mesh, GwL, 0.0, p),
+            state.x.shape, dtype,
+        )
+        lap_lmax_l = lapmod.power_lmax(
+            lambda p: lapmod.ml_matvec(mesh, GwL, 1.0, p, mass_scale=0.0),
+            state.x.shape, dtype,
+        )
 
     # Lagged friction set from the PRE-step positions (Friction::pre_solve)
     if use_friction:
@@ -705,8 +736,30 @@ def newton_step(
                 if hp:
                     ds64 = jnp.zeros_like(s64)
                     la64 = la.astype(jnp.float64)
-        elif solver in ("pcg", "pcg-block-jacobi", "pcg-diag"):
-            if solver == "pcg-diag":
+        elif solver in (
+            "pcg", "pcg-block-jacobi", "pcg-diag",
+            "pcg-laplacian", "pcg-dualascent", "gauss-seidel",
+        ):
+            if solver in ("pcg-laplacian", "pcg-dualascent"):
+                # (M + kL)^{-1} Chebyshev with the stress-rescaled
+                # k = h^2 * max stress (rebuild_factorization(),
+                # laplacian_preconditioner.h:67-82; coeffs.max_evals are
+                # eigenvalues of H = h^2 psi'', so the h^2 is included)
+                k_lap = jnp.max(coeffs.max_evals)
+                ml_inv = lapmod.build_ml_preconditioner(
+                    mesh, GwL, k_lap, lap_lmax_m, lap_lmax_l,
+                    degree=config.lap_cheby_degree,
+                )
+                if solver == "pcg-dualascent" and use_contact:
+                    bj = lapmod.da_apply(
+                        ml_inv, mesh, cf, ccoeffs, iters=config.da_iters
+                    )
+                else:
+                    # with no active frames the reference's DA solve is
+                    # exactly the Laplacian solve
+                    # (dual_ascent_preconditioner.h:163-166)
+                    bj = ml_inv
+            elif solver == "pcg-diag":
                 # scalar Jacobi (eigen-pcg-diag semantics)
                 dvec = jnp.diagonal(blocks, axis1=-2, axis2=-1)
                 dinv = jnp.where(dvec > 0, 1.0 / dvec, 1.0)
@@ -728,11 +781,20 @@ def newton_step(
             # Warm start: explicit-Euler prediction
             # (eigen_iterative_solver.h:40-56)
             dx0 = meshmod.project_free(mesh, target - x)
-            dx, cg_iters, cg_err = pcgmod.pcg(
-                A, b, dx0, Minv,
-                max_iters=config.max_iterative_solver_iters,
-                tol=config.itr_tol,
-            )
+            if solver == "gauss-seidel":
+                # multicolor GS sweeps as the solver
+                # (subspace-gauss_seidel, gauss_seidel.h:50-65)
+                dx, cg_iters, cg_err = gsmod.gs_solve(
+                    A, b, dx0, bj, gs_plan,
+                    max_iters=config.max_iterative_solver_iters,
+                    tol=config.itr_tol,
+                )
+            else:
+                dx, cg_iters, cg_err = pcgmod.pcg(
+                    A, b, dx0, Minv,
+                    max_iters=config.max_iterative_solver_iters,
+                    tol=config.itr_tol,
+                )
 
             # --- local recovery of (ds, la) (SystemMatrixPD::post_solve)
             if use_mixed:

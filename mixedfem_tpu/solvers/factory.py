@@ -29,6 +29,9 @@ INTERNAL_SOLVERS = (
     "pcg",
     "pcg-block-jacobi",
     "pcg-diag",
+    "pcg-laplacian",
+    "pcg-dualascent",
+    "gauss-seidel",
     "direct",
     "minres-kkt",
     "dual-cg",
@@ -38,12 +41,22 @@ INTERNAL_SOLVERS = (
 # exact algorithm has no TPU analog are routed to the nearest path:
 #  - eigen-pcg-IC: incomplete Cholesky is inherently sequential; block-Jacobi
 #    is the structured-preconditioner equivalent here.
-#  - eigen-pcg-laplacian / eigen-pcg-dualascent: both exist to cheapen stiff
-#    solves; the two-level rigid-body coarse space plays that role ("pcg").
+#  - eigen-pcg-laplacian / eigen-pcg-dualascent: TRUE ports
+#    (solvers/laplacian.py): rest-state M + k*L preconditioner with the
+#    stress-rescaled k, applied as a fixed-degree Chebyshev polynomial
+#    (the TPU-native stand-in for the reference's cached SimplicialLLT);
+#    dualascent adds the alternating contact loop when frames are active.
+#    The reference's LBFGS preconditioner (preconditioners/lbfgs.h) is
+#    the identical M+kL algorithm (no quasi-Newton update exists in it)
+#    and is unregistered in the factory — no name maps to it.
 #  - admm-solver: alternating x/s solves with penalty rho; served by the
 #    condensed PCG (same fixed point, strictly faster convergence).
-#  - subspace-amgcl / subspace-gauss_seidel: AMG/GS on the dual system; the
-#    dual Schur-CG path ("dual-cg") is the matrix-free equivalent.
+#  - subspace-gauss_seidel: TRUE Gauss-Seidel sweeps
+#    (solvers/gauss_seidel.py, multicolor — the parallel GS ordering),
+#    run on the condensed primal system rather than the assembled dual
+#    Schur complement (deviation documented in that module).
+#  - subspace-amgcl: AMG on the dual system; the dual Schur-CG path
+#    ("dual-cg") is the matrix-free equivalent.
 REFERENCE_SOLVER_MAP = {
     "eigen-llt": "direct",
     "eigen-ldlt": "direct",
@@ -51,15 +64,15 @@ REFERENCE_SOLVER_MAP = {
     "cholmod": "direct",
     "eigen-pcg-diag": "pcg-diag",
     "eigen-pcg-IC": "pcg-block-jacobi",
-    "eigen-pcg-laplacian": "pcg",
-    "eigen-pcg-dualascent": "pcg",
+    "eigen-pcg-laplacian": "pcg-laplacian",
+    "eigen-pcg-dualascent": "pcg-dualascent",
     "eigen-pcg-block_jacobi": "pcg-block-jacobi",
     "admm-solver": "pcg",
     "minres-indefinite-block": "minres-kkt",
     "minres-indefinite-admm": "minres-kkt",
     "subspace-CG": "dual-cg",
     "subspace-amgcl": "dual-cg",
-    "subspace-gauss_seidel": "dual-cg",
+    "subspace-gauss_seidel": "gauss-seidel",
     # affine-pcg appears in one scene but its registration is commented out
     # in the reference (linear_solver_factory.cpp:101-105) — route to pcg.
     "affine-pcg": "pcg",

@@ -31,11 +31,18 @@ def _step_n(mesh, solver, n=2, outer=4):
         mixed_variables=("mixed-stretch",),
     )
     state = make_state(mesh, config)
+    gs_plan = None
+    if resolve_solver(solver) == "gauss-seidel":
+        from mixedfem_tpu.solvers.gauss_seidel import build_gs_plan
+
+        gs_plan = build_gs_plan(mesh.T, mesh.nv, dtype=jnp.float64)
     for _ in range(n):
         if resolve_solver(solver) == "direct":
             state = newton_step_direct(mesh, config, (), state)
         else:
-            state = newton.newton_step(mesh, config, (), state)
+            state = newton.newton_step(
+                mesh, config, (), state, gs_plan=gs_plan
+            )
     return state
 
 
