@@ -124,6 +124,12 @@ class SimConfig:
     # (dual_ascent_preconditioner.h:217 max_iters_ = 10).
     lap_cheby_degree: int = 16
     da_iters: int = 10
+    # ADMM solver ('admm-solver', solvers/admm.py): penalty auto-scale
+    # multiplier (rho = admm_rho_scale * mean(vol |H|)/mean(vol^2 w^2);
+    # the reference's fixed rho=0.02 documented there) and the inner
+    # Jacobi-PCG sweep count for the (M + rho B^T B) x-solve.
+    admm_rho_scale: float = 3.0
+    admm_inner_iters: int = 30
 
     show_data: bool = True
     show_timing: bool = True

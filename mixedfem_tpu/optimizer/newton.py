@@ -31,6 +31,7 @@ from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.mesh import mesh as meshmod
 from mixedfem_tpu.ops import brick as brickmod
 from mixedfem_tpu.ops import stencil as stmod
+from mixedfem_tpu.solvers import admm as admmmod
 from mixedfem_tpu.solvers import coarse as coarsemod
 from mixedfem_tpu.solvers import dual as dualmod
 from mixedfem_tpu.solvers import factory as solver_factory
@@ -219,9 +220,16 @@ def newton_step(
             "(optimizer/newton_direct.py; Simulation.step routes there) — "
             "newton_step compiles only the on-device iterative paths"
         )
-    if solver in ("minres-kkt", "dual-cg"):
+    if solver in ("minres-kkt", "dual-cg", "admm"):
         if not use_mixed:
             raise NotImplementedError(f"{solver} requires mixed-stretch")
+    if solver == "admm" and (use_vanilla or use_friction or use_vcollision):
+        # the reference asserts state_->vars_.size() == 0 on this path
+        # (preconditioners.h:212): nodal variables are rejected
+        raise NotImplementedError(
+            "admm-solver handles mixed variables only "
+            "(the reference asserts vars_.size()==0)"
+        )
     if solver in ("pcg-laplacian", "pcg-dualascent") and not use_mixed:
         # the reference throws "Using ARAP preconditioner without mixed
         # vars" (laplacian_preconditioner.h:29-31)
@@ -860,6 +868,15 @@ def newton_step(
                     tol=config.itr_tol,
                     Minv=Mk,
                 )
+            elif solver == "admm":
+                sol, cg_iters, cg_err = admmmod.solve_admm(
+                    mesh, coeffs, rhs_kkt,
+                    rho_scale=config.admm_rho_scale,
+                    max_iters=config.max_iterative_solver_iters,
+                    tol=config.itr_tol,
+                    inner_iters=config.admm_inner_iters,
+                    cf=kkt_cf, cc=kkt_cc,
+                )
             else:  # dual-cg
                 sol_all = dualmod.solve_dual(
                     mesh, coeffs, rhs_kkt,
@@ -879,7 +896,7 @@ def newton_step(
         else:
             dec_new = jnp.max(jnp.abs(dx))
         if use_contact:
-            if solver in ("minres-kkt", "dual-cg"):
+            if solver in ("minres-kkt", "dual-cg", "admm"):
                 # full-system paths carry (dd, dlc) as unknowns — unpack
                 # them directly (linear_system.h:89-100 post_solve)
                 cdd = kkt_dd * ccoeffs.active

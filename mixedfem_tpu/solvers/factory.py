@@ -35,6 +35,7 @@ INTERNAL_SOLVERS = (
     "direct",
     "minres-kkt",
     "dual-cg",
+    "admm",
 )
 
 # linear_solver_factory.cpp:24-226. Names the reference registers but whose
@@ -49,8 +50,10 @@ INTERNAL_SOLVERS = (
 #    The reference's LBFGS preconditioner (preconditioners/lbfgs.h) is
 #    the identical M+kL algorithm (no quasi-Newton update exists in it)
 #    and is unregistered in the factory — no name maps to it.
-#  - admm-solver: alternating x/s solves with penalty rho; served by the
-#    condensed PCG (same fixed point, strictly faster convergence).
+#  - admm-solver: TRUE port (solvers/admm.py): alternating x/s/lambda
+#    sweeps on the full KKT with the rho-penalty factorizations; rho is
+#    auto-scaled (the as-shipped fixed rho=0.02 stalls on vol-weighted
+#    jacobians — deviations documented in that module).
 #  - subspace-gauss_seidel: TRUE Gauss-Seidel sweeps
 #    (solvers/gauss_seidel.py, multicolor — the parallel GS ordering),
 #    run on the condensed primal system rather than the assembled dual
@@ -67,7 +70,7 @@ REFERENCE_SOLVER_MAP = {
     "eigen-pcg-laplacian": "pcg-laplacian",
     "eigen-pcg-dualascent": "pcg-dualascent",
     "eigen-pcg-block_jacobi": "pcg-block-jacobi",
-    "admm-solver": "pcg",
+    "admm-solver": "admm",
     "minres-indefinite-block": "minres-kkt",
     "minres-indefinite-admm": "minres-kkt",
     "subspace-CG": "dual-cg",
