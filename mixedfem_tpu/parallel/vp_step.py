@@ -18,9 +18,10 @@ banded), D contiguous blocks of nb rows, elements owned by the shard of
 their minimum vertex, halo depth Bd rows exchanged with each neighbor by
 ppermute over ICI.
 
-Scope: mixed-stretch solids (the flagship path), BDF1, block-Jacobi
-preconditioner. Contact/shells/rods/BDF2+ run through the replicated GSPMD
-path (parallel/sharding.py).
+Scope: mixed-stretch solids (the flagship path), BDF1-6 (pass a BDFState
+of padded histories), block-Jacobi or two-level-coarse preconditioner.
+Contact/shells/rods run through the replicated GSPMD path
+(parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from mixedfem_tpu.config import SimConfig
+from mixedfem_tpu.integrators import bdf as bdfmod
 from mixedfem_tpu.materials import models as mat
 from mixedfem_tpu.mesh.mesh import MeshData
 from mixedfem_tpu.ops import rotation, smallops, sym
@@ -202,11 +204,22 @@ def vp_newton_step(
     v: jnp.ndarray,      # (nv_pad, d) velocities
     s: jnp.ndarray,      # (D, Ep, N) mixed stretch (sharded on axis 0)
     la: jnp.ndarray,     # (D, Ep, N)
+    bdf=None,            # optional BDFState with PADDED (nv_pad) histories
 ):
-    """One BDF1 implicit step, fully vertex-partitioned. Returns
-    (x_new, v_new, s_new, la_new, iters, decrement)."""
+    """One implicit step, fully vertex-partitioned. Returns
+    (x_new, v_new, s_new, la_new, iters, decrement).
+
+    `bdf` (integrators/bdf.py BDFState over nv_pad rows) selects the
+    integrator order: the target x_tilde and the effective dt = beta*h
+    (BDF.cpp:6-27) are row-wise reductions over the history stack, so
+    they shard over the vertex rows for free; the caller advances the
+    history with bdf_update(bdf, x_new). Without `bdf` the step is BDF1
+    from (x, v), matching the original signature."""
     nb, Bd, D, d = plan.nb, plan.Bd, plan.D, plan.dim
-    h = config.h
+    if bdf is not None:
+        h = bdfmod.bdf_dt(bdf)
+    else:
+        h = config.h
     dtype = x.dtype
     dt2 = h * h
     outer = config.outer_steps
@@ -222,7 +235,10 @@ def vp_newton_step(
     ncd = 6 * naggr
 
     # BDF1 target: x_tilde + h^2 ext (displacement.py:target)
-    target = x + h * v + dt2 * plan.ext.reshape(-1, d)
+    if bdf is not None:
+        target = bdfmod.bdf_x_tilde(bdf) + dt2 * plan.ext.reshape(-1, d)
+    else:
+        target = x + h * v + dt2 * plan.ext.reshape(-1, d)
 
     def _modes_of(r3, mask):
         """Per-vertex rigid-mode matrix [I | -skew(r)] (n, d, 6), masked
@@ -520,7 +536,13 @@ def vp_newton_step(
         *coarse_args,
     )
     x_new = x_new.reshape(-1, d)
-    v_new = (x_new - x) / h
+    if bdf is not None:
+        # BDF velocity recovery v = (x - sum_i a_i x_{n-i}) / (beta h)
+        # (BDF.cpp:16-27); same formula bdf_update applies when the caller
+        # pushes x_new into the history.
+        v_new = (x_new - bdfmod._weighted(bdf.x_hist, bdf.order)) / h
+    else:
+        v_new = (x_new - x) / h
     # multipliers are cleared at step end (MixedCollision/MixedStretch
     # post_solve semantics)
     return x_new, v_new, s_new, jnp.zeros_like(la_new), iters, dec, cg_total

@@ -185,6 +185,59 @@ class TestVPStep:
         # the coarse space removes the low-frequency modes: large CG win
         assert int(cg_c) < int(cg_bj) * 0.6, (int(cg_c), int(cg_bj))
 
+    def test_vp_step_bdf2_matches_replicated(self):
+        """BDF2 on the vertex-partitioned path (the BDFState target /
+        effective-dt generalization) == the replicated BDF2 step."""
+        import jax
+        from jax.sharding import Mesh
+
+        from mixedfem_tpu.config import SimConfig
+        from mixedfem_tpu.integrators import bdf as bdfmod
+        from mixedfem_tpu.optimizer import newton
+        from mixedfem_tpu.parallel import vp_step as vp
+
+        from tests.test_newton import small_beam
+
+        mesh, V = small_beam(32, 2, 2)
+        config = SimConfig(
+            h=0.02, outer_steps=3, itr_tol=1e-11,
+            max_iterative_solver_iters=5000,
+            mixed_variables=("mixed-stretch",), dtype="float64",
+            integrator="BDF2",
+        )
+        x0 = jnp.asarray(V)
+        v0 = jnp.zeros_like(x0)
+        state = newton.init_state(mesh, config, (), x0, v0)
+        ref1 = newton.newton_step(mesh, config, (), state)
+        ref2 = newton.newton_step(mesh, config, (), ref1)
+
+        jmesh = Mesh(jax.devices("cpu")[:8], axis_names=("e",))
+        plan = vp.build_vp_plan(mesh, 8)
+        xp = vp.pad_vertex_field(plan, x0)
+        vpad = vp.pad_vertex_field(plan, v0)
+        s, la = vp.init_vp_state(plan, xp)
+        bdf = bdfmod.bdf_init("BDF2", xp, vpad, config.h)
+        x1, v1, s, la, it1, _, _ = vp.vp_newton_step(
+            plan, config, jmesh, xp, vpad, s, la, bdf=bdf
+        )
+        bdf = bdfmod.bdf_update(bdf, x1)
+        x2, v2, s, la, it2, _, _ = vp.vp_newton_step(
+            plan, config, jmesh, x1, v1, s, la, bdf=bdf
+        )
+
+        nv = mesh.nv
+        scale = float(np.abs(np.asarray(ref2.x)).max())
+        np.testing.assert_allclose(
+            np.asarray(x1)[:nv], np.asarray(ref1.x), atol=1e-8 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2)[:nv], np.asarray(ref2.x), atol=1e-7 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2)[:nv], np.asarray(ref2.bdf.v_hist[0]),
+            atol=1e-6 * scale,
+        )
+
     def test_rcm_makes_bunny_partitionable(self):
         """Arbitrary meshes (bunny) exceed the halo bandwidth raw; the RCM
         pass makes build_vp_plan succeed."""
