@@ -214,9 +214,9 @@ def newton_step(
     # Solve-path selection (the reference's linear_solver factory vocabulary,
     # linear_solver_factory.cpp:24-226, resolved to internal path names).
     solver = solver_factory.resolve_solver(config.solver)
-    if solver == "direct":
+    if solver in ("direct", "pcg-ic"):
         raise ValueError(
-            "config.solver='direct' is the host sparse-factorization path "
+            f"config.solver='{solver}' is a host path "
             "(optimizer/newton_direct.py; Simulation.step routes there) — "
             "newton_step compiles only the on-device iterative paths"
         )

@@ -43,8 +43,13 @@ def newton_step_direct(
     state: newtonmod.SimState,
     press_specs: Tuple[pressmod.PressSpec, ...] = (),
 ) -> newtonmod.SimState:
-    """One implicit BDF timestep with an exact host sparse solve per Newton
-    iteration. Semantics match optimizer/newton.py's newton_step."""
+    """One implicit BDF timestep with a host sparse solve per Newton
+    iteration — exact factorization ('direct': eigen-llt/ldlt/lu/cholmod)
+    or IC(0)-preconditioned CG ('pcg-ic': eigen-pcg-IC). Semantics match
+    optimizer/newton.py's newton_step."""
+    from mixedfem_tpu.solvers import factory as solver_factory
+
+    solver_path = solver_factory.resolve_solver(config.solver)
     dt = float(bdfmod.bdf_dt(state.bdf))
     h2 = dt * dt
     dtype = state.x.dtype
@@ -121,9 +126,13 @@ def newton_step_direct(
             frame_hessians=frame_hessians,
         )
         b_np = np.asarray(b, np.float64).reshape(-1)
-        dx = jnp.asarray(
-            directmod.solve_direct(A, b_np).reshape(mesh.nv, mesh.dim), dtype
-        )
+        if solver_path == "pcg-ic":
+            dx_np, lin_iters = directmod.solve_ic_pcg(
+                A, b_np, config.itr_tol, config.max_iterative_solver_iters
+            )
+        else:
+            dx_np, lin_iters = directmod.solve_direct(A, b_np), 1
+        dx = jnp.asarray(dx_np.reshape(mesh.nv, mesh.dim), dtype)
         dx = meshmod.project_free(mesh, dx)
 
         # local recovery (SystemMatrixPD::post_solve)
@@ -194,7 +203,7 @@ def newton_step_direct(
             energy_res=stats.energy_res.at[it].set(res),
             decrement=stats.decrement.at[it].set(dec),
             alpha=stats.alpha.at[it].set(alpha),
-            solver_iters=stats.solver_iters.at[it].set(1),
+            solver_iters=stats.solver_iters.at[it].set(lin_iters),
             solver_error=stats.solver_error.at[it].set(0.0),
             vanilla_grad=stats.vanilla_grad.at[it].set(vg_norm),
             iterations=jnp.asarray(it + 1, jnp.int32),

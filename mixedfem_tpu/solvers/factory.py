@@ -33,6 +33,7 @@ INTERNAL_SOLVERS = (
     "pcg-dualascent",
     "gauss-seidel",
     "direct",
+    "pcg-ic",
     "minres-kkt",
     "dual-cg",
     "admm",
@@ -40,8 +41,12 @@ INTERNAL_SOLVERS = (
 
 # linear_solver_factory.cpp:24-226. Names the reference registers but whose
 # exact algorithm has no TPU analog are routed to the nearest path:
-#  - eigen-pcg-IC: incomplete Cholesky is inherently sequential; block-Jacobi
-#    is the structured-preconditioner equivalent here.
+#  - eigen-pcg-IC: TRUE port on the host path (like the reference's CPU
+#    Eigen run): IC(0) with shift-retry breakdown handling in native C++
+#    (csrc/native.cpp) preconditioning a CG on the host-assembled condensed
+#    matrix, Eigen convergence semantics (solvers/direct.py solve_ic_pcg).
+#    Incomplete factorization is inherently sequential, so — exactly like
+#    the direct solvers — this path runs on the host, not the TPU.
 #  - eigen-pcg-laplacian / eigen-pcg-dualascent: TRUE ports
 #    (solvers/laplacian.py): rest-state M + k*L preconditioner with the
 #    stress-rescaled k, applied as a fixed-degree Chebyshev polynomial
@@ -66,7 +71,7 @@ REFERENCE_SOLVER_MAP = {
     "eigen-lu": "direct",
     "cholmod": "direct",
     "eigen-pcg-diag": "pcg-diag",
-    "eigen-pcg-IC": "pcg-block-jacobi",
+    "eigen-pcg-IC": "pcg-ic",
     "eigen-pcg-laplacian": "pcg-laplacian",
     "eigen-pcg-dualascent": "pcg-dualascent",
     "eigen-pcg-block_jacobi": "pcg-block-jacobi",

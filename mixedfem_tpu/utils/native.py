@@ -55,6 +55,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_longlong),
         ]
+        lib.ichol0.restype = ctypes.c_double
+        lib.ichol0.argtypes = [
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.ichol_solve.restype = None
+        lib.ichol_solve.argtypes = [
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -88,6 +103,30 @@ def grid_pairs(P: np.ndarray, Q: np.ndarray, cell: float):
             return out_i[:n], out_j[:n]
         cap = int(-n) + 16
     return None
+
+
+def ichol0(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray):
+    """Native IC(0) of a lower-triangular CSR (data overwritten with L).
+
+    Returns the diagonal shift applied (>= 0.0), or None on fallback /
+    factorization failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    sigma = lib.ichol0(n, _lptr(indptr), _lptr(indices), _dptr(data))
+    return None if sigma < 0.0 else float(sigma)
+
+
+def ichol_solve(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                x: np.ndarray) -> bool:
+    """Native (L L^T)^{-1} apply, in place on x. False on fallback."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.ichol_solve(len(indptr) - 1, _lptr(indptr), _lptr(indices),
+                    _dptr(data), _dptr(x))
+    return True
 
 
 def parse_mesh(path: str):

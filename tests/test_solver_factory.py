@@ -37,7 +37,7 @@ def _step_n(mesh, solver, n=2, outer=4):
 
         gs_plan = build_gs_plan(mesh.T, mesh.nv, dtype=jnp.float64)
     for _ in range(n):
-        if resolve_solver(solver) == "direct":
+        if resolve_solver(solver) in ("direct", "pcg-ic"):
             state = newton_step_direct(mesh, config, (), state)
         else:
             state = newton.newton_step(
@@ -74,6 +74,7 @@ class TestTrajectories:
         [
             "cholmod",               # -> direct (same exact path)
             "eigen-pcg-diag",        # -> pcg-diag
+            "eigen-pcg-IC",          # -> pcg-ic (host IC(0)-CG)
             "eigen-pcg-block_jacobi",  # -> pcg-block-jacobi
             "eigen-pcg-laplacian",   # -> pcg
             "minres-indefinite-block",  # -> minres-kkt
@@ -169,7 +170,7 @@ def _run_contact_drop(mesh, V, nfloor, solver, steps=3, outer=4):
     ncontact = 0
     for _ in range(steps):
         state = state.replace(contact=_contact_frames(mesh, state.x))
-        if resolve_solver(solver) == "direct":
+        if resolve_solver(solver) in ("direct", "pcg-ic"):
             state = newton_step_direct(mesh, config, (), state)
         else:
             state = newton.newton_step(mesh, config, (), state)
