@@ -65,7 +65,9 @@ class Simulation:
     def _one_step(self) -> SimState:
         from mixedfem_tpu.solvers.factory import resolve_solver
 
-        if resolve_solver(self.config.solver) in ("direct", "pcg-ic"):
+        if resolve_solver(self.config.solver) in (
+            "direct", "pcg-ic", "amgcl",
+        ):
             from mixedfem_tpu.optimizer.newton_direct import newton_step_direct
 
             return newton_step_direct(

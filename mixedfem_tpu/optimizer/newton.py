@@ -214,7 +214,7 @@ def newton_step(
     # Solve-path selection (the reference's linear_solver factory vocabulary,
     # linear_solver_factory.cpp:24-226, resolved to internal path names).
     solver = solver_factory.resolve_solver(config.solver)
-    if solver in ("direct", "pcg-ic"):
+    if solver in ("direct", "pcg-ic", "amgcl"):
         raise ValueError(
             f"config.solver='{solver}' is a host path "
             "(optimizer/newton_direct.py; Simulation.step routes there) — "

@@ -51,6 +51,21 @@ def newton_step_direct(
 
     solver_path = solver_factory.resolve_solver(config.solver)
     dt = float(bdfmod.bdf_dt(state.bdf))
+    if solver_path == "amgcl":
+        if (
+            "mixed-stretch" not in config.mixed_variables
+            or config.variables
+            or "mixed-collision" in config.mixed_variables
+            and state.contact.frames.shape[0] > 0
+        ):
+            # The dual elimination is lumped-mass-only, and the reference's
+            # DualCondensedSystem overwrites lhs_/rhs_ per mixed variable
+            # (linear_system.h:150-172) so only single-mixed-variable
+            # systems are well-defined on it; contact scenes should use
+            # subspace-CG (the coupled matrix-free Schur, solvers/dual.py).
+            raise NotImplementedError(
+                "subspace-amgcl solves the mixed-stretch dual system only"
+            )
     h2 = dt * dt
     dtype = state.x.dtype
     outer = config.outer_steps
@@ -121,29 +136,54 @@ def newton_step_direct(
             if use_contact
             else None
         )
-        A = directmod.assemble_condensed(
-            mesh, coeffs, contact=contact_blocks, v_coeffs=vcoeffs,
-            frame_hessians=frame_hessians,
-        )
-        b_np = np.asarray(b, np.float64).reshape(-1)
-        if solver_path == "pcg-ic":
-            dx_np, lin_iters = directmod.solve_ic_pcg(
-                A, b_np, config.itr_tol, config.max_iterative_solver_iters
+        if solver_path != "amgcl":
+            A = directmod.assemble_condensed(
+                mesh, coeffs, contact=contact_blocks, v_coeffs=vcoeffs,
+                frame_hessians=frame_hessians,
             )
-        else:
-            dx_np, lin_iters = directmod.solve_direct(A, b_np), 1
-        dx = jnp.asarray(dx_np.reshape(mesh.nv, mesh.dim), dtype)
-        dx = meshmod.project_free(mesh, dx)
+        if solver_path == "amgcl":
+            # dual-condensed flow (AMGCLSolver::solve, amgcl_solver.h:40-75):
+            # solve S dlam = b on the host with SA-AMG-preconditioned CG,
+            # then the dual recovery replaces the condensed local solve.
+            from mixedfem_tpu.solvers import amg as amgmod
+            from mixedfem_tpu.solvers import minres as mrmod
 
-        # local recovery (SystemMatrixPD::post_solve)
-        if use_mixed:
-            ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+            rhs_kkt = mrmod.kkt_rhs(
+                mesh, state.bdf, coeffs, x, s, la,
+                blend=config.inertia_blend_factor,
+            )
+            dx_np, ds_np, dl_np, lin_iters = amgmod.solve_dual_amg(
+                mesh, coeffs, rhs_kkt,
+                tol=config.itr_tol,
+                maxiter=config.max_iterative_solver_iters,
+            )
+            dx = meshmod.project_free(mesh, jnp.asarray(dx_np, dtype))
+            ds = jnp.asarray(ds_np, dtype)
+            la_new = la + jnp.asarray(dl_np, dtype)
             dec = max(
                 float(jnp.max(jnp.abs(dx))), float(jnp.max(jnp.abs(ds)))
             )
         else:
-            ds, la_new = jnp.zeros_like(s), la
-            dec = float(jnp.max(jnp.abs(dx)))
+            b_np = np.asarray(b, np.float64).reshape(-1)
+            if solver_path == "pcg-ic":
+                dx_np, lin_iters = directmod.solve_ic_pcg(
+                    A, b_np, config.itr_tol,
+                    config.max_iterative_solver_iters,
+                )
+            else:
+                dx_np, lin_iters = directmod.solve_direct(A, b_np), 1
+            dx = jnp.asarray(dx_np.reshape(mesh.nv, mesh.dim), dtype)
+            dx = meshmod.project_free(mesh, dx)
+
+            # local recovery (SystemMatrixPD::post_solve)
+            if use_mixed:
+                ds, la_new = ms.local_solve(mesh, coeffs, s, dx)
+                dec = max(
+                    float(jnp.max(jnp.abs(dx))), float(jnp.max(jnp.abs(ds)))
+                )
+            else:
+                ds, la_new = jnp.zeros_like(s), la
+                dec = float(jnp.max(jnp.abs(dx)))
         if use_contact:
             cdd, cla_new = mc.local_solve(mesh, cf, ccoeffs, dx)
             cd_cur, cact_new = ccoeffs.d, ccoeffs.active

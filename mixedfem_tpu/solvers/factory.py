@@ -34,6 +34,7 @@ INTERNAL_SOLVERS = (
     "gauss-seidel",
     "direct",
     "pcg-ic",
+    "amgcl",
     "minres-kkt",
     "dual-cg",
     "admm",
@@ -63,8 +64,12 @@ INTERNAL_SOLVERS = (
 #    (solvers/gauss_seidel.py, multicolor — the parallel GS ordering),
 #    run on the condensed primal system rather than the assembled dual
 #    Schur complement (deviation documented in that module).
-#  - subspace-amgcl: AMG on the dual system; the dual Schur-CG path
-#    ("dual-cg") is the matrix-free equivalent.
+#  - subspace-amgcl: TRUE port (solvers/amg.py): smoothed-aggregation AMG
+#    with SPAI(0) relaxation and block size N on the host-assembled dual
+#    Schur matrix, as the preconditioner of an outer CG — amgcl's exact
+#    configuration (amgcl_solver.h:40-75). Runs on the host like the
+#    reference's amgcl (mixed-stretch dual only; contact scenes should use
+#    subspace-CG, the coupled matrix-free Schur).
 REFERENCE_SOLVER_MAP = {
     "eigen-llt": "direct",
     "eigen-ldlt": "direct",
@@ -79,7 +84,7 @@ REFERENCE_SOLVER_MAP = {
     "minres-indefinite-block": "minres-kkt",
     "minres-indefinite-admm": "minres-kkt",
     "subspace-CG": "dual-cg",
-    "subspace-amgcl": "dual-cg",
+    "subspace-amgcl": "amgcl",
     "subspace-gauss_seidel": "gauss-seidel",
     # affine-pcg appears in one scene but its registration is commented out
     # in the reference (linear_solver_factory.cpp:101-105) — route to pcg.

@@ -37,7 +37,7 @@ def _step_n(mesh, solver, n=2, outer=4):
 
         gs_plan = build_gs_plan(mesh.T, mesh.nv, dtype=jnp.float64)
     for _ in range(n):
-        if resolve_solver(solver) in ("direct", "pcg-ic"):
+        if resolve_solver(solver) in ("direct", "pcg-ic", "amgcl"):
             state = newton_step_direct(mesh, config, (), state)
         else:
             state = newton.newton_step(
@@ -94,6 +94,17 @@ class TestTrajectories:
         per-step tolerance."""
         mesh, x_ref = beam
         out = _step_n(mesh, "subspace-CG", outer=12)
+        x = np.asarray(out.x)
+        assert np.isfinite(x).all()
+        scale = np.abs(x_ref).max()
+        np.testing.assert_allclose(x, x_ref, atol=2e-3 * scale)
+
+    def test_amgcl_converges_to_same_point(self, beam):
+        """subspace-amgcl solves the same lumped-mass dual system as
+        subspace-CG (inexact Newton directions, same fixed point), with
+        the host SA-AMG-preconditioned CG."""
+        mesh, x_ref = beam
+        out = _step_n(mesh, "subspace-amgcl", outer=12)
         x = np.asarray(out.x)
         assert np.isfinite(x).all()
         scale = np.abs(x_ref).max()
@@ -170,7 +181,7 @@ def _run_contact_drop(mesh, V, nfloor, solver, steps=3, outer=4):
     ncontact = 0
     for _ in range(steps):
         state = state.replace(contact=_contact_frames(mesh, state.x))
-        if resolve_solver(solver) in ("direct", "pcg-ic"):
+        if resolve_solver(solver) in ("direct", "pcg-ic", "amgcl"):
             state = newton_step_direct(mesh, config, (), state)
         else:
             state = newton.newton_step(mesh, config, (), state)
