@@ -130,6 +130,8 @@ class SimConfig:
     # Jacobi-PCG sweep count for the (M + rho B^T B) x-solve.
     admm_rho_scale: float = 3.0
     admm_inner_iters: int = 30
+    # minres-indefinite-admm: fixed ADMM sweeps per preconditioner apply
+    admm_precond_sweeps: int = 2
 
     show_data: bool = True
     show_timing: bool = True

@@ -220,14 +220,17 @@ def newton_step(
             "(optimizer/newton_direct.py; Simulation.step routes there) — "
             "newton_step compiles only the on-device iterative paths"
         )
-    if solver in ("minres-kkt", "dual-cg", "admm"):
+    if solver in ("minres-kkt", "minres-kkt-admm", "dual-cg", "admm"):
         if not use_mixed:
             raise NotImplementedError(f"{solver} requires mixed-stretch")
-    if solver == "admm" and (use_vanilla or use_friction or use_vcollision):
+    if solver in ("admm", "minres-kkt-admm") and (
+        use_vanilla or use_friction or use_vcollision
+    ):
         # the reference asserts state_->vars_.size() == 0 on this path
-        # (preconditioners.h:212): nodal variables are rejected
+        # (preconditioners.h:212): nodal variables are rejected (the same
+        # ADMMPreconditioner object backs minres-indefinite-admm)
         raise NotImplementedError(
-            "admm-solver handles mixed variables only "
+            "the ADMM iteration handles mixed variables only "
             "(the reference asserts vars_.size()==0)"
         )
     if solver in ("pcg-laplacian", "pcg-dualascent") and not use_mixed:
@@ -853,14 +856,26 @@ def newton_step(
                 blend=config.inertia_blend_factor,
                 cf=kkt_cf, cc=kkt_cc, extra_grad_x=extra_gx,
             )
-            if solver == "minres-kkt":
+            if solver in ("minres-kkt", "minres-kkt-admm"):
                 Aop = mrmod.kkt_operator(
                     mesh, coeffs, cf=kkt_cf, cc=kkt_cc,
                     extra_x_matvec=extra_mv,
                 )
-                Mk = mrmod.kkt_block_diag_preconditioner(
-                    mesh, coeffs, cf=kkt_cf, cc=kkt_cc
-                )
+                if solver == "minres-kkt-admm":
+                    # minres-indefinite-admm: the ADMM iteration as the
+                    # MINRES preconditioner (the reference pairs Eigen
+                    # MINRES with ADMMPreconditioner in its factory)
+                    Mk = admmmod.admm_preconditioner(
+                        mesh, coeffs,
+                        rho_scale=config.admm_rho_scale,
+                        sweeps=config.admm_precond_sweeps,
+                        inner_iters=config.admm_inner_iters,
+                        cf=kkt_cf, cc=kkt_cc,
+                    )
+                else:
+                    Mk = mrmod.kkt_block_diag_preconditioner(
+                        mesh, coeffs, cf=kkt_cf, cc=kkt_cc
+                    )
                 u0 = tuple(jax.tree.map(jnp.zeros_like, rhs_kkt))
                 sol, cg_iters, cg_err = mrmod.minres(
                     Aop, rhs_kkt, u0,
@@ -896,7 +911,7 @@ def newton_step(
         else:
             dec_new = jnp.max(jnp.abs(dx))
         if use_contact:
-            if solver in ("minres-kkt", "dual-cg", "admm"):
+            if solver in ("minres-kkt", "minres-kkt-admm", "dual-cg", "admm"):
                 # full-system paths carry (dd, dlc) as unknowns — unpack
                 # them directly (linear_system.h:89-100 post_solve)
                 cdd = kkt_dd * ccoeffs.active

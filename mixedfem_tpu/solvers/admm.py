@@ -58,29 +58,24 @@ from mixedfem_tpu.solvers import pcg as pcgmod
 from mixedfem_tpu.variables import mixed_stretch as ms
 
 
-def solve_admm(
+def _admm_setup(
     mesh: meshmod.MeshData,
     c: ms.StretchCoeffs,
-    rhs,
     *,
-    rho_scale: float = 3.0,
-    max_iters: int = 100,
-    tol: float = 1e-4,
-    inner_iters: int = 30,
+    rho_scale: float,
+    inner_iters: int,
     cf=None,
     cc=None,
 ):
-    """Alternating (dx, ds, dl[, dd, dlc]) solve of the KKT system whose
-    rhs tuple comes from minres.kkt_rhs. Returns (sol, iters, err) with
-    err = ||u_k - u_{k-1}|| / ||b||."""
+    """rhs-independent setup of the ADMM iteration: the penalty scaling,
+    the constraint-jacobian products, the x-block operator + Jacobi
+    diagonal, and the s/d-block factorizations. Built once per Newton
+    iteration; shared by the standalone admm-solver and the fixed-sweep
+    MINRES preconditioner (minres-indefinite-admm)."""
     w = sym.sym_weights(mesh.dim, dtype=mesh.vols.dtype)
     vols = mesh.vols
     has_contact = cf is not None and cf.frames.shape[0] > 0
-    if has_contact:
-        b_x, b_s, b_l, b_d, b_lc = rhs
-        act = cc.active
-    else:
-        b_x, b_s, b_l = rhs
+    act = cc.active if has_contact else None
 
     # rho auto-scaling (deviation 1)
     hbar = jnp.mean(vols[:, None, None] * jnp.abs(c.H))
@@ -102,6 +97,7 @@ def solve_admm(
             ),
         )
 
+    Bc_dx = BcT = None
     if has_contact:
 
         def Bc_dx(dx):
@@ -152,18 +148,37 @@ def solve_admm(
     # s-block factorization (H + rho C^T C)^{-1}: batched (N, N) inverse
     Hs = vols[:, None, None] * c.H + rho * jnp.einsum(
         "e,i,ij->eij", vols**2, w * w,
-        jnp.eye(b_s.shape[1], dtype=vols.dtype),
+        jnp.eye(c.H.shape[1], dtype=vols.dtype),
     )
     Hs_inv = jnp.linalg.inv(Hs)
+    hc_inv = None
     if has_contact:
         hc_inv = jnp.where(act > 0, 1.0 / (cc.H + rho), 1.0)
-
-    bnorm = jnp.sqrt(sum(jnp.vdot(b, b) for b in jax.tree.leaves(rhs)))
-    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
 
     def Cs(s):
         return -vols[:, None] * w * s
 
+    return dict(
+        w=w, vols=vols, has_contact=has_contact, act=act, rho=rho,
+        Bdx=Bdx, BT=BT, Bc_dx=Bc_dx, BcT=BcT, Aop=Aop, Minv=Minv,
+        Hs_inv=Hs_inv, hc_inv=hc_inv, Cs=Cs, inner_iters=inner_iters,
+    )
+
+
+def _admm_body(S, rhs):
+    """One ADMM sweep body over carry (u, it, err) for the KKT rhs tuple
+    (minres.kkt_rhs layout). Returns (body, zero_u, safe_b)."""
+    has_contact = S["has_contact"]
+    vols, w, rho = S["vols"], S["w"], S["rho"]
+    Bdx, BT, Bc_dx, BcT = S["Bdx"], S["BT"], S["Bc_dx"], S["BcT"]
+    Cs, Hs_inv, hc_inv, act = S["Cs"], S["Hs_inv"], S["hc_inv"], S["act"]
+    if has_contact:
+        b_x, b_s, b_l, b_d, b_lc = rhs
+    else:
+        b_x, b_s, b_l = rhs
+
+    bnorm = jnp.sqrt(sum(jnp.vdot(b, b) for b in jax.tree.leaves(rhs)))
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
     zero_u = tuple(jax.tree.map(jnp.zeros_like, rhs))
 
     def body(carry):
@@ -177,7 +192,8 @@ def solve_admm(
         if has_contact:
             bi = bi - BcT(lck) - rho * BcT(-dk - b_lc)
         xn, _, _ = pcgmod.pcg(
-            Aop, bi, xk, Minv, max_iters=inner_iters, tol=1e-12
+            S["Aop"], bi, xk, S["Minv"], max_iters=S["inner_iters"],
+            tol=1e-12,
         )
         # --- s-update (and contact d-update)
         bs = b_s + vols[:, None] * w * lk + rho * vols[:, None] * w * (
@@ -202,6 +218,45 @@ def solve_admm(
         )
         return un, it + 1, du / safe_b
 
+    return body, zero_u, safe_b
+
+
+def _build_admm_iteration(
+    mesh: meshmod.MeshData,
+    c: ms.StretchCoeffs,
+    rhs,
+    *,
+    rho_scale: float,
+    inner_iters: int,
+    cf=None,
+    cc=None,
+):
+    S = _admm_setup(
+        mesh, c, rho_scale=rho_scale, inner_iters=inner_iters, cf=cf, cc=cc
+    )
+    return _admm_body(S, rhs)
+
+
+def solve_admm(
+    mesh: meshmod.MeshData,
+    c: ms.StretchCoeffs,
+    rhs,
+    *,
+    rho_scale: float = 3.0,
+    max_iters: int = 100,
+    tol: float = 1e-4,
+    inner_iters: int = 30,
+    cf=None,
+    cc=None,
+):
+    """Alternating (dx, ds, dl[, dd, dlc]) solve of the KKT system whose
+    rhs tuple comes from minres.kkt_rhs. Returns (sol, iters, err) with
+    err = ||u_k - u_{k-1}|| / ||b||."""
+    body, zero_u, safe_b = _build_admm_iteration(
+        mesh, c, rhs, rho_scale=rho_scale, inner_iters=inner_iters,
+        cf=cf, cc=cc,
+    )
+
     def cond(carry):
         _, it, err = carry
         return jnp.logical_and(it < max_iters, err > tol)
@@ -210,3 +265,39 @@ def solve_admm(
         cond, body, (zero_u, jnp.zeros((), jnp.int32), jnp.array(jnp.inf, safe_b.dtype))
     )
     return u, it, err
+
+
+def admm_preconditioner(
+    mesh: meshmod.MeshData,
+    c: ms.StretchCoeffs,
+    *,
+    rho_scale: float = 3.0,
+    sweeps: int = 2,
+    inner_iters: int = 10,
+    cf=None,
+    cc=None,
+):
+    """The ADMM iteration as the MINRES preconditioner — the reference's
+    minres-indefinite-admm registration (linear_solver_factory.cpp pairs
+    Eigen MINRES on SystemMatrixIndefinite with ADMMPreconditioner as the
+    preconditioner, preconditioners.h:154-363 solve()). The apply runs a
+    FIXED number of sweeps from a zero start (no convergence test), so it
+    acts as one fixed operator across the MINRES iteration; like the
+    reference's, it is only approximately linear (the inner x-solve is a
+    truncated Krylov iteration there too — prefactored LLT in C++, fixed-
+    sweep Jacobi-PCG here), which Eigen MINRES tolerates in practice."""
+    S = _admm_setup(
+        mesh, c, rho_scale=rho_scale, inner_iters=inner_iters, cf=cf, cc=cc
+    )
+
+    def Minv(r):
+        body, zero_u, safe_b = _admm_body(S, r)
+        carry = (
+            zero_u, jnp.zeros((), jnp.int32),
+            jnp.array(jnp.inf, safe_b.dtype),
+        )
+        for _ in range(sweeps):
+            carry = body(carry)
+        return carry[0]
+
+    return Minv

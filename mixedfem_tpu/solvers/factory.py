@@ -36,6 +36,7 @@ INTERNAL_SOLVERS = (
     "pcg-ic",
     "amgcl",
     "minres-kkt",
+    "minres-kkt-admm",
     "dual-cg",
     "admm",
 )
@@ -60,6 +61,10 @@ INTERNAL_SOLVERS = (
 #    sweeps on the full KKT with the rho-penalty factorizations; rho is
 #    auto-scaled (the as-shipped fixed rho=0.02 stalls on vol-weighted
 #    jacobians — deviations documented in that module).
+#  - minres-indefinite-admm: MINRES on the full KKT with the SAME ADMM
+#    iteration (fixed sweep count, zero start) as its preconditioner —
+#    the reference's exact registration (Eigen MINRES +
+#    ADMMPreconditioner, preconditioners.h:154-363).
 #  - subspace-gauss_seidel: TRUE Gauss-Seidel sweeps
 #    (solvers/gauss_seidel.py, multicolor — the parallel GS ordering),
 #    run on the condensed primal system rather than the assembled dual
@@ -82,7 +87,7 @@ REFERENCE_SOLVER_MAP = {
     "eigen-pcg-block_jacobi": "pcg-block-jacobi",
     "admm-solver": "admm",
     "minres-indefinite-block": "minres-kkt",
-    "minres-indefinite-admm": "minres-kkt",
+    "minres-indefinite-admm": "minres-kkt-admm",
     "subspace-CG": "dual-cg",
     "subspace-amgcl": "amgcl",
     "subspace-gauss_seidel": "gauss-seidel",

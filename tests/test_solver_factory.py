@@ -99,6 +99,22 @@ class TestTrajectories:
         scale = np.abs(x_ref).max()
         np.testing.assert_allclose(x, x_ref, atol=2e-3 * scale)
 
+    def test_minres_admm_converges_to_same_point(self, beam):
+        """minres-indefinite-admm: MINRES preconditioned by fixed ADMM
+        sweeps. The ADMM apply is a NONSYMMETRIC linear operator (a fixed
+        sweep count of an exact splitting iteration — like SOR vs SSOR),
+        so MINRES's SPD-preconditioner assumption is violated; the
+        reference ships the identical unsound pairing (Eigen MINRES +
+        ADMMPreconditioner, linear_solver_factory.cpp). Per-solve
+        directions are therefore inexact — test the Newton fixed point,
+        as for the other inexact-direction paths above."""
+        mesh, x_ref = beam
+        out = _step_n(mesh, "minres-indefinite-admm", outer=12)
+        x = np.asarray(out.x)
+        assert np.isfinite(x).all()
+        scale = np.abs(x_ref).max()
+        np.testing.assert_allclose(x, x_ref, atol=2e-3 * scale)
+
     def test_amgcl_converges_to_same_point(self, beam):
         """subspace-amgcl solves the same lumped-mass dual system as
         subspace-CG (inexact Newton directions, same fixed point), with
