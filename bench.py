@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def build(nx, ny, nz, dtype, backend_device=None):
+def build(nx, ny, nz, dtype, backend_device=None, force_unstructured=False):
     import jax
     import jax.numpy as jnp
 
@@ -31,9 +31,11 @@ def build(nx, ny, nz, dtype, backend_device=None):
     V, T = generators.box_tet_mesh(nx, ny, nz, size=(4.0, 1.0, 1.0))
     # structured-grid stencil plan (cell-major element order) when the
     # box structure is detected; else banded element order (free static
-    # reorder; enables the windowed Pallas brick kernel on TPU)
-    splan, perm = stmod.build_stencil_plan(
-        T, len(V), (nx + 1, ny + 1, nz + 1)
+    # reorder; enables the windowed Pallas brick kernel on TPU).
+    # force_unstructured measures the path EVERY reference scene takes
+    # (no reference mesh is a conforming box grid): banded order + brick.
+    splan, perm = (None, None) if force_unstructured else (
+        stmod.build_stencil_plan(T, len(V), (nx + 1, ny + 1, nz + 1))
     )
     if splan is not None:
         T = T[perm]
@@ -247,15 +249,72 @@ def _wait_for_accelerator(max_wait_s=600):
         time.sleep(20)
 
 
+def inline_attribution(mesh, config0, state, coarse, plan, cg_total):
+    """In-step breakdown via parameter sweeps on the PRODUCTION fused step
+    (tools/attribute.py method; VERDICT r4 item 1 — the separate-jit stage
+    tool overstates layout-boundary costs, so the default bench fits
+
+        T(outer, cg) = c0 + outer * c_newton + outer * cg * c_cg
+
+    on fused-step cells with pinned iteration counts and reports rows that
+    sum to ~the measured step time)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from mixedfem_tpu.optimizer.newton import _empty_stats, newton_step
+
+    def step_t(outer, cg, reps=4):
+        cfg = dataclasses.replace(
+            config0,
+            outer_steps=outer, max_iterative_solver_iters=cg, itr_tol=0.0,
+        )
+        st = state.replace(stats=_empty_stats(outer, jnp.float32))
+        f = lambda s: newton_step(mesh, cfg, (), s, coarse, (), plan)
+        o = f(st)
+        _sync(o.stats.energy)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = f(st)
+        _sync(o.stats.energy)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    cells = {}
+    for (o, c) in [(5, 36), (5, 72), (1, 2), (5, 2)]:
+        cells[(o, c)] = step_t(o, c)
+    c_cg = (cells[(5, 72)] - cells[(5, 36)]) / (5 * 36)
+    c_newton = (cells[(5, 2)] - cells[(1, 2)]) / 4 - 2 * c_cg
+    c0 = cells[(1, 2)] - c_newton - 2 * c_cg
+    n_cg = int(cg_total)
+    return {
+        "per_cg_iter_ms": round(c_cg, 4),
+        "per_newton_fixed_ms": round(c_newton, 3),
+        "per_step_overhead_ms": round(c0, 3),
+        "rows_ms": {
+            "dispatch_floor": round(c0, 1),
+            "newton_fixed_work_x5": round(5 * c_newton, 1),
+            "cg_iterations": round(n_cg * c_cg, 1),
+        },
+        "rows_sum_ms": round(c0 + 5 * c_newton + n_cg * c_cg, 1),
+        "measured_T(5,36)_ms": round(cells[(5, 36)], 1),
+    }
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--stages", action="store_true",
                     help="also print the per-stage breakdown (slower)")
-    ap.add_argument("--cpu-100k", action="store_true",
-                    help="measure the JAX-CPU baseline at 100k tets "
-                         "(~5 min; the honest north-star denominator)")
+    ap.add_argument("--skip-cpu-100k", action="store_true",
+                    help="skip the JAX-CPU 100k baseline (~5 min on one "
+                         "vCPU; it is the honest north-star denominator, "
+                         "measured by default)")
+    ap.add_argument("--skip-attribution", action="store_true",
+                    help="skip the in-step parameter-sweep breakdown")
+    ap.add_argument("--skip-brick", action="store_true",
+                    help="skip the unstructured (brick-path) 100k step")
     cli = ap.parse_args()
 
     _wait_for_accelerator()
@@ -303,6 +362,7 @@ def main():
         mesh, config, state, n_steps=5, coarse=cs, plan=plan
     )
     extras["tets_100k"] = ntets
+    extras["value_stencil_100k"] = round(ms_100k, 1)  # == top-level value
     extras["coarse_aggregates"] = cs.naggr
     extras["matvec_path"] = type(plan).__name__ if plan is not None else "xla"
     if cli.stages:
@@ -311,6 +371,40 @@ def main():
         )
     extras["newton_iters"] = it
     extras["cg_iters_per_newton"] = [int(c) for c in cg]
+
+    # in-step per-stage breakdown in the DEFAULT output (VERDICT r4
+    # item 1): parameter sweeps on the production fused step
+    if not cli.skip_attribution:
+        try:
+            extras["stages_100k"] = inline_attribution(
+                mesh, config, state, cs, plan, int(sum(cg))
+            )
+        except Exception as e:
+            extras["attribution_error"] = str(e)[:200]
+
+    # unstructured (brick-path) 100k step: the matvec path EVERY
+    # reference scene takes (VERDICT r4 item 2b)
+    if not cli.skip_brick:
+        try:
+            mesh_u, config_u, state_u, _ = build(
+                40, 25, 20, "float32", force_unstructured=True
+            )
+            plan_u = _make_plan(mesh_u, None)
+            cs_u = _coarse(mesh_u, None)
+            state_u = state_u.replace(
+                precond=jnp.zeros((cs_u.ncd, cs_u.ncd), jnp.float32)
+            )
+            ms_brick, _it_b, cg_b, _ = time_steps(
+                mesh_u, config_u, state_u, n_steps=3, coarse=cs_u,
+                plan=plan_u,
+            )
+            extras["value_brick_100k"] = round(ms_brick, 1)
+            extras["brick_matvec_path"] = (
+                type(plan_u).__name__ if plan_u is not None else "xla"
+            )
+            extras["brick_cg_iters"] = [int(c) for c in cg_b]
+        except Exception as e:
+            extras["brick_error"] = str(e)[:200]
 
     # analytic useful-work accounting (VERDICT r2: report MFU/flops)
     flops, bytes_hbm = flop_byte_estimate(
@@ -348,11 +442,11 @@ def main():
     )
     extras["ms_per_step_10k_tets"] = round(ms_10k, 3)
 
-    # Honest north-star denominator: CPU at the SAME 100k size. Slow
-    # (~90 s/step on this 1-vCPU container), so measured on demand; the
-    # last measured value is recorded in BASELINE.md (87,000 ms/step,
-    # 2026-08-17, single vCPU).
-    if cli.cpu_100k:
+    # Honest north-star denominator: CPU at the SAME 100k size, measured
+    # BY DEFAULT (VERDICT r4 item 2a). Slow (~90 s/step on a 1-vCPU
+    # container; --skip-cpu-100k to omit); BASELINE.md records the
+    # multi-core extrapolation next to each round's value.
+    if not cli.skip_cpu_100k:
         try:
             mesh_c, config_c, state_c, _ = build(
                 40, 25, 20, "float32", backend_device=cpu
@@ -364,7 +458,7 @@ def main():
                 )
             )
             ms_cpu_100k, _, _, _ = time_steps(
-                mesh_c, config_c, state_c, n_steps=2, coarse=cs_c,
+                mesh_c, config_c, state_c, n_steps=1, coarse=cs_c,
                 plan=build.last_stencil_plan,
             )
             extras["ms_per_step_100k_tets_cpu"] = round(ms_cpu_100k, 1)

@@ -170,12 +170,19 @@ def mixed_contact_merit(
     return e + jnp.sum(cla * (D_t - cd_t) * m)
 
 
-def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla):
+def _total_energy(mesh, bdf, h2, x, s, la, use_mixed, use_vanilla,
+                  Sv=None):
     """The merit function of the line search (newton_optimizer.cpp:63-78):
-    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars]."""
+    inertia + h^2 psi(s) + la . c(x, s) [+ h^2 psi(F) for vanilla vars].
+
+    `Sv` short-circuits the F-rebuild + polar inside constraint_value when
+    S(x) is already known at this exact x (the update just computed it) —
+    bitwise identical, saves one polar pipeline per Newton iteration."""
     E = disp.energy(mesh, bdf, x)
     if use_mixed:
-        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(mesh, x, s, la)
+        E = E + h2 * ms.energy(mesh, s) + ms.constraint_value(
+            mesh, x, s, la, Sv=Sv
+        )
     if use_vanilla:
         E = E + h2 * vstretch.energy(mesh, x)
     return E
@@ -965,8 +972,11 @@ def newton_step(
             E64_full = merit64(jnp.zeros((), jnp.float64))
             E = E64_full.astype(dtype)
         else:
+            # base-point merit: reuse the update's stretch (same x ->
+            # identical polar result; skips a full F/polar recompute)
             E = _total_energy(
-                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla
+                mesh, state.bdf, h2, x, s, la_new, use_mixed, use_vanilla,
+                Sv=coeffs.Sv if use_mixed else None,
             ) + contact_energy(x, cd_cur)
         res_new = jnp.abs((E - E_prev) / (E + 1e-6))
 

@@ -184,6 +184,105 @@ def _assemble_local(sp: ShardStencilPlan, Gw, mass, mk):
     return W.reshape(27, d, d, (sp.Sc + 1) * sp.plane)
 
 
+def _halo_cg(sp: ShardStencilPlan, p, fm):
+    """(d, Si*plane) -> (d, (Si+2)*plane): one plane from each neighbour
+    (edge shards receive zeros via the ring + index mask)."""
+    D, Si, plane = sp.D, sp.Si, sp.plane
+    left = [(i, (i - 1) % D) for i in range(D)]
+    right = [(i, (i + 1) % D) for i in range(D)]
+    first = jax.lax.ppermute(p[:, :plane], "x", left)
+    last = jax.lax.ppermute(p[:, (Si - 1) * plane :], "x", right)
+    idx = jax.lax.axis_index("x")
+    first = jnp.where(idx == D - 1, 0.0, first)  # from right edge
+    last = jnp.where(idx == 0, 0.0, last)        # from left edge
+    return jnp.concatenate([last, p, first], axis=1)
+
+
+def _local_pcg(
+    sp: ShardStencilPlan,
+    W, b, x0, fm, binv,      # shard-LOCAL: W (27, d, d, Si*plane), vectors
+    #                          (d, Si*plane), binv (d, d, Si*plane)
+    max_iters: int, tol: float,
+    B6=None, agg=None, naggr: int = 0, Aci=None,
+):
+    """Preconditioned CG on shard-local I-slab lattice vectors — must run
+    INSIDE shard_map over axis "x" (uses ppermute halos + psum dots).
+    Shared by sharded_pcg and sharded_newton_step."""
+    Si, plane = sp.Si, sp.plane
+    use_coarse = B6 is not None and Aci is not None
+    d = b.shape[0]
+    NJp = sp.NJ + 2
+    NKp = sp.NK + 2
+    S = NJp * NKp + NKp + 1
+
+    def A(p):
+        pb = _halo_cg(sp, p, fm)             # (d, (Si+2)*plane)
+        # extra S-zeros both sides: flat shifts overhang the single
+        # halo plane by up to NKp+1 at J/K ghost positions (where the
+        # W rows are zero); without the pad lax.slice would clamp and
+        # shift REAL positions' reads
+        pbe = jnp.pad(pb, ((0, 0), (S, S)))
+        y = jnp.zeros_like(p)
+        for oid, (di, dj, dk) in enumerate(OFFSETS):
+            sh = (di * NJp + dj) * NKp + dk
+            base = S + plane + sh            # owned plane 0 in pbe
+            xs = jax.lax.slice(
+                pbe, (0, base), (d, base + Si * plane)
+            )
+            y = y + jnp.einsum("abn,bn->an", W[oid], xs)
+        return y * fm
+
+    def pdot(u, v):
+        return jax.lax.psum(jnp.vdot(u, v), "x")
+
+    def Minv(r):
+        z = jnp.einsum("abn,bn->an", binv, r)
+        if use_coarse:
+            w = jnp.einsum("dan,dn->an", B6, r)   # (6, Si*plane)
+            rc = jax.ops.segment_sum(
+                w.T, agg, num_segments=naggr + 1
+            )[:naggr]                              # (naggr, 6)
+            rc = jax.lax.psum(rc, "x")
+            zc = (Aci @ rc.reshape(-1)).reshape(naggr, 6)
+            zcp = jnp.concatenate(
+                [zc, jnp.zeros((1, 6), zc.dtype)]
+            )
+            zv = zcp[agg]                          # (Si*plane, 6)
+            z = z + jnp.einsum("dan,na->dn", B6, zv) * fm
+        return z
+
+    bnorm2 = pdot(b, b)
+    safe_b = jnp.where(bnorm2 > 0, bnorm2, 1.0)
+    tol2 = (tol * tol) * safe_b
+    r = b - A(x0)
+    z = Minv(r)
+    p = z
+    rz = pdot(r, z)
+
+    def cond(c):
+        x, r, z, p, rz, it = c
+        return jnp.logical_and(it < max_iters, pdot(r, r) > tol2)
+
+    def step(c):
+        x, r, z, p, rz, it = c
+        Ap = A(p)
+        denom = pdot(p, Ap)
+        alpha = rz / jnp.where(denom != 0, denom, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv(r)
+        rz_new = pdot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, z, p, rz, it = jax.lax.while_loop(
+        cond, step, (x0, r, z, p, rz, 0)
+    )
+    rel = jnp.sqrt(pdot(r, r) / safe_b)
+    return x, it, rel
+
+
 def sharded_pcg(
     sp: ShardStencilPlan,
     jmesh: Mesh,
@@ -204,7 +303,6 @@ def sharded_pcg(
     leading; the caller builds them with shard_element_rows /
     shard_vertex_field and jax.device_put's them onto `jmesh`."""
     D, Si, plane = sp.D, sp.Si, sp.plane
-    left = [(i, (i - 1) % D) for i in range(D)]
     right = [(i, (i + 1) % D) for i in range(D)]
     use_coarse = coarse_B_sh is not None and Ac_inv is not None
 
@@ -214,7 +312,6 @@ def sharded_pcg(
         emask, Gw, mass, mk = emask_b[0], Gw_b[0], mass_b[0], mk_b[0]
         b, x0, fm, binv = b_b[0], x0_b[0], fm_b[0], binv_b[0]
         B6, agg = B6_b[0], agg_b[0]
-        d = b.shape[0]
         emaskf = emask[:, None, None, None]
         W = _assemble_local(
             sp, Gw * emaskf, mass * emask[:, None, None], mk
@@ -224,88 +321,12 @@ def sharded_pcg(
             W[..., Si * plane : (Si + 1) * plane], "x", right
         )
         W = W[..., : Si * plane].at[..., :plane].add(spill)
-
-        def halo(p):
-            """(d, Si*plane) -> (d, (Si+2)*plane): one plane from each
-            neighbour (edge shards receive zeros via the ring + mask)."""
-            first = jax.lax.ppermute(p[:, :plane], "x", left)
-            last = jax.lax.ppermute(
-                p[:, (Si - 1) * plane :], "x", right
-            )
-            idx = jax.lax.axis_index("x")
-            first = jnp.where(idx == D - 1, 0.0, first)  # from right edge
-            last = jnp.where(idx == 0, 0.0, last)        # from left edge
-            return jnp.concatenate([last, p, first], axis=1)
-
-        NJp = sp.NJ + 2
-        NKp = sp.NK + 2
-        S = NJp * NKp + NKp + 1
-
-        def A(p):
-            pb = halo(p)                         # (d, (Si+2)*plane)
-            # extra S-zeros both sides: flat shifts overhang the single
-            # halo plane by up to NKp+1 at J/K ghost positions (where the
-            # W rows are zero); without the pad lax.slice would clamp and
-            # shift REAL positions' reads
-            pbe = jnp.pad(pb, ((0, 0), (S, S)))
-            y = jnp.zeros_like(p)
-            for oid, (di, dj, dk) in enumerate(OFFSETS):
-                sh = (di * NJp + dj) * NKp + dk
-                base = S + plane + sh            # owned plane 0 in pbe
-                xs = jax.lax.slice(
-                    pbe, (0, base), (d, base + Si * plane)
-                )
-                y = y + jnp.einsum("abn,bn->an", W[oid], xs)
-            return y * fm
-
-        def pdot(u, v):
-            return jax.lax.psum(jnp.vdot(u, v), "x")
-
-        def Minv(r):
-            z = jnp.einsum("abn,bn->an", binv, r)
-            if use_coarse:
-                w = jnp.einsum("dan,dn->an", B6, r)   # (6, Si*plane)
-                rc = jax.ops.segment_sum(
-                    w.T, agg, num_segments=naggr + 1
-                )[:naggr]                              # (naggr, 6)
-                rc = jax.lax.psum(rc, "x")
-                zc = (Aci @ rc.reshape(-1)).reshape(naggr, 6)
-                zcp = jnp.concatenate(
-                    [zc, jnp.zeros((1, 6), zc.dtype)]
-                )
-                zv = zcp[agg]                          # (Si*plane, 6)
-                z = z + jnp.einsum("dan,na->dn", B6, zv) * fm
-            return z
-
-        bnorm2 = pdot(b, b)
-        safe_b = jnp.where(bnorm2 > 0, bnorm2, 1.0)
-        tol2 = (tol * tol) * safe_b
-        r = b - A(x0)
-        z = Minv(r)
-        p = z
-        rz = pdot(r, z)
-
-        def cond(c):
-            x, r, z, p, rz, it = c
-            return jnp.logical_and(it < max_iters, pdot(r, r) > tol2)
-
-        def step(c):
-            x, r, z, p, rz, it = c
-            Ap = A(p)
-            denom = pdot(p, Ap)
-            alpha = rz / jnp.where(denom != 0, denom, 1.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = Minv(r)
-            rz_new = pdot(r, z)
-            beta = rz_new / jnp.where(rz != 0, rz, 1.0)
-            p = z + beta * p
-            return (x, r, z, p, rz_new, it + 1)
-
-        x, r, z, p, rz, it = jax.lax.while_loop(
-            cond, step, (x0, r, z, p, rz, 0)
+        x, it, rel = _local_pcg(
+            sp, W, b, x0, fm, binv, max_iters, tol,
+            B6=B6 if use_coarse else None,
+            agg=agg if use_coarse else None,
+            naggr=naggr, Aci=Aci if use_coarse else None,
         )
-        rel = jnp.sqrt(pdot(r, r) / safe_b)
         return x[None], it, rel
 
     if not use_coarse:
@@ -330,4 +351,481 @@ def sharded_pcg(
     return fn(
         sp.emask, Gw_sh, mass_sh, sp.masks, b_sh, x0_sh, fm_sh, binv_sh,
         coarse_B_sh, coarse_agg_sh, Ac_inv,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded FULL Newton step on the stencil path (VERDICT r4 item 5 / SURVEY
+# §5): the whole implicit timestep — coefficient update, offset-form W
+# assembly, rhs scatter, preconditioned CG, local (ds, la) recovery, merit
+# + backtracking line search — runs under ONE shard_map over I-slabs.
+#
+# The trick that keeps this a ~code-reuse exercise instead of a rewrite:
+# each shard gets a shard-LOCAL MeshData whose connectivity T indexes a
+# halo-extended row vector of (Si+1) vertex planes ((Si+1)*plane rows,
+# ghost-padded J/K).  Every per-element function of the single-chip step
+# (mixed_stretch.update / rhs_contrib / local_solve / energy /
+# constraint_value, displacement.energy / gradient_contrib) then works
+# VERBATIM inside shard_map; scalar energy reductions get a psum, vertex
+# scatters get the one-plane spill ppermute, and the CG is _local_pcg.
+#
+# Padding discipline (zero-volume elements must stay FINITE through the
+# polar/material pipeline — 0 * NaN poisons vols-weighted sums):
+#   * pad cell planes' element data tiles REAL rows (dphidX/mu/lam/s), with
+#     vols/mass_coeff zero-padded so contributions vanish;
+#   * pad vertex planes blend to a rest-EXTRAPOLATED lattice (build_rest
+#     rows) so fake elements see F ~ identity, never F = 0.
+# Scope (the bench flagship physics): 3D mixed-stretch solids, solver
+# 'pcg' with block-Jacobi or the grid two-level coarse preconditioner,
+# BDF1-6, no contact/shells/rods (those run the vp/GSPMD paths).
+# ---------------------------------------------------------------------------
+
+
+def _pad_elem(sp: ShardStencilPlan, rows, mode="zero"):
+    """(E, ...) cell-major element data -> (D, Eloc, ...) I-slab shards.
+    mode='zero' pads with zeros (vols/mass); mode='tile' repeats the first
+    cell plane's REAL rows (dphidX/mu/lam/model_id/s) so padded elements
+    stay finite through polar/material evaluation."""
+    NJc, NKc, ns = sp.NJ - 1, sp.NK - 1, sp.nslots
+    per_plane = NJc * NKc * ns
+    Epad = sp.D * sp.Sc * per_plane
+    n = rows.shape[0]
+    if Epad > n:
+        if mode == "tile":
+            reps = -(-(Epad - n) // per_plane)
+            pad = jnp.tile(
+                rows[:per_plane], (reps,) + (1,) * (rows.ndim - 1)
+            )[: Epad - n]
+        else:
+            pad = jnp.zeros((Epad - n,) + rows.shape[1:], rows.dtype)
+        rows = jnp.concatenate([rows, pad])
+    return rows.reshape((sp.D, sp.Sc * per_plane) + rows.shape[1:])
+
+
+def build_local_T(sp: ShardStencilPlan, T) -> jnp.ndarray:
+    """Shard-local connectivity (D, Eloc, k): global cell-major T mapped to
+    row indices of the halo-extended local vector ((Si+1) planes of
+    (NJ+2)*(NK+2), J/K ghost offset +1). Padded elements reuse the first
+    cell plane's local pattern (their vols are zero)."""
+    T = np.asarray(T)
+    NJ, NK = sp.NJ, sp.NK
+    NJp, NKp = NJ + 2, NK + 2
+    NJc, NKc, ns = NJ - 1, NK - 1, sp.nslots
+    per_plane = NJc * NKc * ns
+    E, k = T.shape
+    gi, gj, gk = T // (NJ * NK), (T // NK) % NJ, T % NK
+    eplane = np.arange(E) // per_plane          # global cell plane
+    shard = eplane // sp.Sc
+    li = gi - (shard * sp.Si)[:, None]
+    lv = (li * NJp + (gj + 1)) * NKp + (gk + 1)
+    Epad = sp.D * sp.Sc * per_plane
+    if Epad > E:
+        reps = -(-(Epad - E) // per_plane)
+        pad = np.tile(lv[:per_plane], (reps, 1))[: Epad - E]
+        lv = np.concatenate([lv, pad])
+    return jnp.asarray(lv.reshape(sp.D, sp.Sc * per_plane, k), jnp.int32)
+
+
+def build_rest_rows(sp: ShardStencilPlan, V0) -> jnp.ndarray:
+    """(D, (Si+1)*plane, d) rest positions of the halo-extended local rows,
+    linearly extrapolated beyond the box along I (and edge-clamped at J/K
+    ghosts) so padded planes give fake elements F ~ identity, not F = 0."""
+    NI, NJ, NK = sp.NI, sp.NJ, sp.NK
+    V3 = np.asarray(V0).reshape(NI, NJ, NK, -1)
+    ext_n = sp.D * sp.Si + 1
+    if ext_n > NI:
+        step = V3[NI - 1] - V3[NI - 2] if NI >= 2 else 0.0 * V3[0]
+        extra = V3[NI - 1][None] + step[None] * np.arange(
+            1, ext_n - NI + 1, dtype=V3.dtype
+        ).reshape(-1, 1, 1, 1)
+        V3 = np.concatenate([V3, extra], axis=0)
+    V3 = np.pad(V3, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    rows = np.stack(
+        [
+            V3[s * sp.Si : s * sp.Si + sp.Si + 1].reshape(
+                -1, V3.shape[-1]
+            )
+            for s in range(sp.D)
+        ]
+    )
+    return jnp.asarray(rows)
+
+
+def build_valid_rows(sp: ShardStencilPlan) -> jnp.ndarray:
+    """(D, (Si+1)*plane) 1.0 where a local row is a REAL lattice vertex
+    (owned or halo), 0.0 at I-pad planes and J/K ghosts."""
+    NI, NJ, NK = sp.NI, sp.NJ, sp.NK
+    ii = np.arange(sp.D * sp.Si + 1) < NI
+    jj = (np.arange(NJ + 2) >= 1) & (np.arange(NJ + 2) <= NJ)
+    kk = (np.arange(NK + 2) >= 1) & (np.arange(NK + 2) <= NK)
+    v = ii[:, None, None] & jj[None, :, None] & kk[None, None, :]
+    rows = np.stack(
+        [
+            v[s * sp.Si : s * sp.Si + sp.Si + 1].reshape(-1)
+            for s in range(sp.D)
+        ]
+    )
+    return jnp.asarray(rows.astype(np.float32))
+
+
+def shard_vertex_rows_halo(sp: ShardStencilPlan, f) -> jnp.ndarray:
+    """(nv, m) vertex field -> (D, (Si+1)*plane, m) halo-extended local
+    ROWS (the +1 plane is the right ring-neighbour's first owned plane) —
+    for STATIC per-step fields (rest positions, ext force, BDF history);
+    dynamic fields exchange their halo in-body via ppermute."""
+    xs = shard_vertex_field(sp, f)               # (D, m, Si*plane)
+    halo = jnp.roll(xs[..., : sp.plane], -1, axis=0)
+    ext = jnp.concatenate([xs, halo], axis=-1)   # (D, m, (Si+1)*plane)
+    return jnp.transpose(ext, (0, 2, 1))
+
+
+def shard_local_mesh(sp: ShardStencilPlan, mesh):
+    """Shard-local MeshData (leading axis = shard): element data in I-slab
+    shards, connectivity into the halo-extended local rows, vertex fields
+    halo-extended. mass_diag/mass_lumped are zeroed (the stencil step
+    takes its diagonal from W); V0 carries the rest rows."""
+    d = mesh.dim
+    nvloc = (sp.Si + 1) * sp.plane
+    zeros_v = jnp.zeros((sp.D, nvloc), mesh.vols.dtype)
+    fm_rows = shard_vertex_rows_halo(
+        sp, mesh.free_mask[:, None].astype(mesh.vols.dtype)
+    )[..., 0]
+    return mesh.replace(
+        V0=build_rest_rows(sp, mesh.V0).astype(mesh.V0.dtype),
+        T=build_local_T(sp, mesh.T),
+        dphidX=_pad_elem(sp, mesh.dphidX, "tile"),
+        vols=_pad_elem(sp, mesh.vols, "zero"),
+        mass_coeff=_pad_elem(sp, mesh.mass_coeff, "zero"),
+        mass_lumped=zeros_v,
+        mass_diag=zeros_v,
+        free_mask=fm_rows,
+        mu=_pad_elem(sp, mesh.mu, "tile"),
+        lam=_pad_elem(sp, mesh.lam, "tile"),
+        model_id=_pad_elem(sp, mesh.model_id, "tile"),
+        ext_force=shard_vertex_rows_halo(sp, mesh.ext_force),
+        obj_id=jnp.zeros((sp.D, nvloc), jnp.int32),
+        F_srf=jnp.zeros((sp.D, 0, 3), jnp.int32),
+        E_srf=jnp.zeros((sp.D, 0, 2), jnp.int32),
+        rest_normal=jnp.zeros((sp.D, 0, 3), mesh.vols.dtype),
+        rod_frames=jnp.zeros((sp.D, 0, 3, 3), mesh.vols.dtype),
+        rod_L=jnp.zeros((sp.D, 0), mesh.vols.dtype),
+    )
+
+
+def _scatter_local(sp: ShardStencilPlan, rows, mk):
+    """Shard-local rhs scatter: (Eloc, k, m) corner contributions ->
+    (m, (Sc+1)*plane) local lattice planes (plane Sc = spill into the
+    right neighbour). Mirrors ops/stencil.scatter_vec with the shard's
+    own parity/validity masks `mk` (2, Sc, NJc, NKc)."""
+    NJc, NKc, ns = sp.NJ - 1, sp.NK - 1, sp.nslots
+    NJp, NKp = sp.NJ + 2, sp.NK + 2
+    ncells = sp.Sc * NJc * NKc
+    E, k, m = rows.shape
+    RS = jnp.transpose(rows.reshape(ncells, ns, k * m), (1, 2, 0))
+    mkf = mk.reshape(2, ncells).astype(rows.dtype)
+    vec_terms = tuple(
+        (p, t, a, ca) for (p, t, a, b, ca, _o) in sp.terms if b == 0
+    )
+    out = None
+    for (p, t, a, (ci, cj, ck)) in vec_terms:
+        C = RS[t, a * m : (a + 1) * m] * mkf[p]      # (m, ncells)
+        C = C.reshape(m, sp.Sc, NJc, NKc)
+        Cp = jnp.pad(
+            C,
+            (
+                (0, 0),
+                (ci, (sp.Sc + 1) - ci - sp.Sc),
+                (1 + cj, NJp - 1 - cj - NJc),
+                (1 + ck, NKp - 1 - ck - NKc),
+            ),
+        )
+        out = Cp if out is None else out + Cp
+    return out.reshape(m, (sp.Sc + 1) * sp.plane)
+
+
+def sharded_newton_step(
+    sp: ShardStencilPlan,
+    jmesh: Mesh,
+    mesh,                     # GLOBAL MeshData (cell-major element order)
+    config,
+    state,                    # optimizer.newton.SimState
+    coarse=None,              # grid CoarseSpace (build_coarse_space_grid)
+):
+    """One implicit BDF step, fully sharded over I-slabs. Semantically
+    identical to optimizer.newton.newton_step on the stencil path
+    (trajectory parity: tests/test_sharding_full_step.py); returns the
+    updated SimState in replicated (single-chip) layout.
+
+    The once-per-step coarse preconditioner build (coarse_matrix +
+    inverse — newton.py's _build_precond) runs replicated before the
+    shard_map, exactly like the single-chip step builds it outside the
+    Newton loop; all O(n) per-Newton work is sharded."""
+    from mixedfem_tpu.integrators import bdf as bdfmod
+    from mixedfem_tpu.solvers import coarse as coarsemod
+    from mixedfem_tpu.solvers import pcg as pcgmod
+    from mixedfem_tpu.variables import displacement as disp
+    from mixedfem_tpu.variables import mixed_stretch as ms
+
+    assert mesh.dim == 3 and not mesh.shell and not mesh.rod
+    assert "mixed-stretch" in config.mixed_variables
+    assert state.contact.frames.shape[0] == 0, (
+        "sharded stencil step: contact runs the single-chip/vp paths"
+    )
+
+    D, Si, plane = sp.D, sp.Si, sp.plane
+    dt = bdfmod.bdf_dt(state.bdf)
+    h2 = dt * dt
+    dtype = state.x.dtype
+    outer = config.outer_steps
+    right = [(i, (i + 1) % D) for i in range(D)]
+    from_right = [(i, (i - 1) % D) for i in range(D)]
+
+    # --- static shards -----------------------------------------------
+    mesh_sh = shard_local_mesh(sp, mesh)
+    valid_sh = build_valid_rows(sp).astype(dtype)[..., None]
+    xh_hist = jnp.stack(
+        [
+            shard_vertex_rows_halo(sp, state.bdf.x_hist[i])
+            for i in range(state.bdf.order)
+        ],
+        axis=1,
+    )                                            # (D, I, nvloc, d)
+    vh_hist = jnp.stack(
+        [
+            shard_vertex_rows_halo(sp, state.bdf.v_hist[i])
+            for i in range(state.bdf.order)
+        ],
+        axis=1,
+    )
+    x_sl = shard_vertex_field(sp, state.x)       # (D, d, Si*plane)
+    s_sh = _pad_elem(sp, state.s, "tile")
+    la_sh = _pad_elem(sp, state.la, "zero")
+    fm_sl = shard_vertex_field(
+        sp,
+        jnp.broadcast_to(
+            mesh.free_mask[:, None], (mesh.nv, mesh.dim)
+        ).astype(dtype),
+    )
+
+    # --- once-per-step coarse build (replicated, as in newton_step) ---
+    use_coarse = coarse is not None
+    if use_coarse:
+        assert coarse.grid is not None, (
+            "sharded stencil step needs a grid coarse space"
+        )
+        coeffs0 = ms.update(mesh, state.x, state.s, dt)
+        Ac = coarsemod.coarse_matrix(mesh, coarse, coeffs0)
+        Ac_inv = coarsemod.coarse_inverse(Ac)
+        B = coarsemod._vert_modes(coarse, mesh.free_mask, mesh.dim)
+        B6_sh = shard_vertex_field(
+            sp, B.reshape(mesh.nv, mesh.dim * 6)
+        ).reshape(D, mesh.dim, 6, Si * plane)
+        agg_sh = shard_vertex_ints(sp, coarse.agg_id, coarse.naggr)
+        naggr = coarse.naggr
+    else:
+        Ac_inv = jnp.zeros((6, 6), dtype)
+        B6_sh = jnp.zeros((D, mesh.dim, 6, Si * plane), dtype)
+        agg_sh = jnp.zeros((D, Si * plane), jnp.int32)
+        naggr = 0
+
+    eye_d = jnp.eye(mesh.dim, dtype=dtype)
+
+    def body(mesh_b, valid_b, xh_b, vh_b, x_b, s_b, la_b, fm_b, emask_b,
+             mk_b, B6_b, agg_b, Aci):
+        mesh_l = jax.tree.map(lambda a: a[0], mesh_b)
+        valid = valid_b[0]                       # (nvloc, 1)
+        bdf_l = state.bdf.replace(x_hist=xh_b[0], v_hist=vh_b[0])
+        x0_sl, s0, la0 = x_b[0], s_b[0], la_b[0]
+        fm = fm_b[0]
+        emask = emask_b[0]
+        mk = mk_b[0]
+        B6, agg = B6_b[0], agg_b[0]
+        d = x0_sl.shape[0]
+        rest_rows = mesh_l.V0
+
+        def halo_rows(sl):
+            """(d, Si*plane) owned slab -> (nvloc, d) halo-extended rows,
+            rest-blended at pad/ghost positions."""
+            h = jax.lax.ppermute(sl[:, :plane], "x", from_right)
+            rows = jnp.concatenate([sl, h], axis=1).T
+            return rows * valid
+
+        def to_slab(rows):
+            return rows.T[:, : Si * plane]
+
+        xrest = rest_rows * (1.0 - valid)        # additive rest blend
+
+        def psum(v):
+            return jax.lax.psum(v, "x")
+
+        def merit(x_rows, s_t, la_t, Sv=None):
+            E = (
+                disp.energy(mesh_l, bdf_l, x_rows)
+                + h2 * ms.energy(mesh_l, s_t)
+                + ms.constraint_value(mesh_l, x_rows, s_t, la_t, Sv=Sv)
+            )
+            return psum(E)
+
+        t_rows = disp.target(
+            mesh_l, bdf_l, blend=config.inertia_blend_factor
+        )
+
+        def newton_cond(c):
+            (x, s, la, it, E_prev, dec, res, st) = c
+            return jnp.logical_and(
+                it < outer,
+                jnp.logical_and(dec > config.newton_tol, res > 1e-12),
+            )
+
+        def newton_body(c):
+            (x_slc, s, la, it, E_prev, dec, res, st) = c
+            xh = halo_rows(x_slc) + xrest        # (nvloc, d)
+
+            coeffs = ms.update(mesh_l, xh, s, dt)
+
+            # rhs: -(inertia grad) + stretch rhs, assembled locally with
+            # one spill-plane exchange
+            rc = ms.rhs_contrib(mesh_l, coeffs, s)
+            ig = disp.gradient_contrib(
+                mesh_l, bdf_l, xh, blend=config.inertia_blend_factor
+            )
+            bl = _scatter_local(sp, rc - ig, mk)     # (d, (Sc+1)*plane)
+            spill_b = jax.lax.ppermute(
+                bl[:, Si * plane :], "x", right
+            )
+            b_sl = (
+                bl[:, : Si * plane].at[:, :plane].add(spill_b) * fm
+            )
+
+            # offset-form W + spill; block-Jacobi from its o=0 plane
+            emaskf = emask[:, None, None, None]
+            W = _assemble_local(
+                sp, coeffs.Gw * emaskf,
+                mesh_l.mass_coeff * emask[:, None, None], mk,
+            )
+            spill_W = jax.lax.ppermute(
+                W[..., Si * plane : (Si + 1) * plane], "x", right
+            )
+            W = W[..., : Si * plane].at[..., :plane].add(spill_W)
+            blocks = W[13]                        # (d, d, Si*plane)
+            fm_n = fm[0]                          # (Si*plane,)
+            reg = blocks * fm_n + eye_d[:, :, None] * (1.0 - fm_n)
+            binv = (
+                pcgmod._small_inv(jnp.transpose(reg, (2, 0, 1)))
+                .transpose(1, 2, 0)
+                * fm_n
+            )
+
+            dx0 = to_slab(t_rows - xh) * fm
+            dx_sl, cg_iters, cg_err = _local_pcg(
+                sp, W, b_sl, dx0, fm, binv,
+                config.max_iterative_solver_iters, config.itr_tol,
+                B6=B6 if use_coarse else None,
+                agg=agg if use_coarse else None,
+                naggr=naggr, Aci=Aci if use_coarse else None,
+            )
+
+            dxh = halo_rows(dx_sl)
+            ds, la_new = ms.local_solve(mesh_l, coeffs, s, dxh)
+            ds = ds * emask[:, None]
+            la_new = la_new * emask[:, None]
+
+            dec_new = jax.lax.pmax(
+                jnp.maximum(jnp.max(jnp.abs(dx_sl)), jnp.max(jnp.abs(ds))),
+                "x",
+            )
+
+            E = merit(xh, s, la_new, Sv=coeffs.Sv)
+            res_new = jnp.abs((E - E_prev) / (E + 1e-6))
+
+            if config.ls_strict:
+                eps_E = jnp.zeros((), dtype)
+            else:
+                eps_E = 16.0 * jnp.finfo(dtype).eps * jnp.abs(E)
+
+            def ls_cond(cc):
+                a, kk = cc
+                Ea = merit(xh + a * dxh, s + a * ds, la_new)
+                return jnp.logical_and(
+                    kk < config.ls_iters, Ea >= E + eps_E
+                )
+
+            def ls_body(cc):
+                a, kk = cc
+                return (a * 0.5, kk + 1)
+
+            alpha, ls_k = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.asarray(1.0, dtype), jnp.zeros((), jnp.int32)),
+            )
+            accept = (ls_k < config.ls_iters).astype(dtype)
+            x_slc = x_slc + accept * alpha * dx_sl
+            s = s + accept * alpha * ds
+
+            st = dict(
+                energy=st["energy"].at[it].set(E),
+                energy_res=st["energy_res"].at[it].set(res_new),
+                decrement=st["decrement"].at[it].set(dec_new),
+                alpha=st["alpha"].at[it].set(alpha),
+                solver_iters=st["solver_iters"].at[it].set(cg_iters),
+                solver_error=st["solver_error"].at[it].set(cg_err),
+                iterations=it + 1,
+            )
+            return (x_slc, s, la_new, it + 1, E, dec_new, res_new, st)
+
+        big = jnp.asarray(jnp.inf, dtype)
+        z = jnp.zeros((outer,), dtype)
+        st0 = dict(
+            energy=z, energy_res=z, decrement=z, alpha=z,
+            solver_iters=jnp.zeros((outer,), jnp.int32),
+            solver_error=z, iterations=jnp.zeros((), jnp.int32),
+        )
+        (x_f, s_f, la_f, it, E, dec, res, st) = jax.lax.while_loop(
+            newton_cond, newton_body,
+            (x0_sl, s0, la0, jnp.zeros((), jnp.int32),
+             jnp.zeros((), dtype), big, big, st0),
+        )
+        return x_f[None], s_f[None], la_f[None], st
+
+    spec = P("x")
+    rep = P()
+    st_specs = dict(
+        energy=rep, energy_res=rep, decrement=rep, alpha=rep,
+        solver_iters=rep, solver_error=rep, iterations=rep,
+    )
+    fn = shard_map(
+        body,
+        mesh=jmesh,
+        in_specs=(spec, spec, spec, spec, spec, spec, spec, spec, spec,
+                  spec, spec, spec, rep),
+        out_specs=(spec, spec, spec, st_specs),
+        check_vma=False,
+    )
+    x_sh_f, s_sh_f, la_sh_f, st = fn(
+        mesh_sh, valid_sh, xh_hist, vh_hist, x_sl, s_sh, la_sh, fm_sl,
+        sp.emask, sp.masks, B6_sh, agg_sh, Ac_inv,
+    )
+
+    # --- unshard + post_solve (BDF push, clear la) --------------------
+    from mixedfem_tpu.optimizer.newton import StepStats
+
+    x_new = unshard_vertex_field(sp, x_sh_f)
+    E_real = mesh.T.shape[0]
+    s_new = s_sh_f.reshape(-1, s_sh_f.shape[-1])[:E_real]
+    la_new = la_sh_f.reshape(-1, la_sh_f.shape[-1])[:E_real]
+    stats = StepStats(
+        energy=st["energy"], energy_res=st["energy_res"],
+        decrement=st["decrement"], alpha=st["alpha"],
+        solver_iters=st["solver_iters"],
+        solver_error=st["solver_error"],
+        vanilla_grad=jnp.zeros((outer,), dtype),
+        iterations=st["iterations"],
+    )
+    return state.replace(
+        x=x_new,
+        s=s_new,
+        la=jnp.zeros_like(la_new),
+        bdf=bdfmod.bdf_update(state.bdf, x_new),
+        step_count=state.step_count + 1,
+        stats=stats,
     )
