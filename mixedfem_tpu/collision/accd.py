@@ -66,11 +66,17 @@ def accd_alpha(frames, ftype, fmask, x, p_full):
     """Min CCD step over all candidate frames.
 
     frames: (C, 4) int32, x/p_full: (nv, d). Returns scalar in (0, 1]."""
-    dtype = x.dtype
     if frames.shape[0] == 0:
+        return jnp.asarray(1.0, x.dtype)
+    return accd_alpha_verts(x[frames], p_full[frames], ftype, fmask)
+
+
+def accd_alpha_verts(verts, pv, ftype, fmask):
+    """accd_alpha on pre-gathered frame vertices (C, 4, d) — used by the
+    vertex-partitioned step, which gathers frames with a psum."""
+    dtype = verts.dtype
+    if verts.shape[0] == 0:
         return jnp.asarray(1.0, dtype)
-    verts = x[frames]
-    pv = p_full[frames]
     t = jax.vmap(lambda v, q, ft: _accd_one(v, q, ft, dtype))(verts, pv, ftype)
     t = jnp.where(fmask > 0, t, 1.0)
     return jnp.min(t)

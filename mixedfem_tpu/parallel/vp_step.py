@@ -19,9 +19,13 @@ their minimum vertex, halo depth Bd rows exchanged with each neighbor by
 ppermute over ICI.
 
 Scope: mixed-stretch solids (the flagship path), BDF1-6 (pass a BDFState
-of padded histories), block-Jacobi or two-level-coarse preconditioner.
-Contact/shells/rods run through the replicated GSPMD path
-(parallel/sharding.py).
+of padded histories), block-Jacobi or two-level-coarse preconditioner,
+and mixed IPC contact (pass `cf`): the padded frame set is SMALL and
+irregular, so its vertex values are gathered with one psum of (C, 4, d)
+per use (frames may span shards arbitrarily — no banded-locality
+assumption) while every frame's barrier algebra runs replicated; frame
+rhs/diag/matvec contributions scatter into owned rows only. Shells/rods
+run through the replicated GSPMD path (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -205,6 +209,8 @@ def vp_newton_step(
     s: jnp.ndarray,      # (D, Ep, N) mixed stretch (sharded on axis 0)
     la: jnp.ndarray,     # (D, Ep, N)
     bdf=None,            # optional BDFState with PADDED (nv_pad) histories
+    cf=None,             # optional ContactFrames (GLOBAL vertex ids,
+    #                      replicated) — enables mixed IPC contact
 ):
     """One implicit step, fully vertex-partitioned. Returns
     (x_new, v_new, s_new, la_new, iters, decrement).
@@ -214,7 +220,17 @@ def vp_newton_step(
     (BDF.cpp:6-27) are row-wise reductions over the history stack, so
     they shard over the vertex rows for free; the caller advances the
     history with bdf_update(bdf, x_new). Without `bdf` the step is BDF1
-    from (x, v), matching the original signature."""
+    from (x, v), matching the original signature.
+
+    `cf` stacks MixedCollision into the sharded step (activation,
+    barrier rhs/Hessian, frame matvec + diag blocks, local (dd, la_c)
+    recovery, merit terms and the CCD alpha clamp — the same per-Newton
+    lifecycle as optimizer/newton.py under contact); frame vertex values
+    move with one (C, 4, d) psum per use."""
+    from mixedfem_tpu.collision import accd as accdmod
+    from mixedfem_tpu.collision import barrier as bar
+    from mixedfem_tpu.collision import distances as dist
+
     nb, Bd, D, d = plan.nb, plan.Bd, plan.D, plan.dim
     if bdf is not None:
         h = bdfmod.bdf_dt(bdf)
@@ -233,6 +249,9 @@ def vp_newton_step(
     use_coarse = plan.naggr > 0
     naggr = plan.naggr
     ncd = 6 * naggr
+    use_contact = cf is not None and cf.frames.shape[0] > 0
+    nC = cf.frames.shape[0] if use_contact else 0
+    dhat, kappa = config.dhat, config.kappa
 
     # BDF1 target: x_tilde + h^2 ext (displacement.py:target)
     if bdf is not None:
@@ -297,6 +316,31 @@ def vp_newton_step(
         def pdot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), "e")
 
+        # contact frame gather/scatter: frames are few and may span shards
+        # arbitrarily; one (C, 4, X) psum replicates their vertex values,
+        # scatters touch owned rows only (closure over the replicated cf)
+        sh_start = jax.lax.axis_index("e") * nb
+
+        def gather_frames(p):
+            """(nb, X) owned rows -> (C, 4, X) replicated frame values."""
+            rel = cf.frames - sh_start
+            ok = (rel >= 0) & (rel < nb)
+            vals = jnp.where(
+                ok[..., None], p[jnp.clip(rel, 0, nb - 1)], 0.0
+            )
+            return jax.lax.psum(vals, "e")
+
+        def scatter_frames_own(contrib):
+            """(C, 4, X) frame contributions -> (nb, X) owned rows."""
+            rel = cf.frames - sh_start
+            ok = (rel >= 0) & (rel < nb)
+            seg = jnp.where(ok, rel, nb)
+            X = contrib.shape[-1]
+            return jax.ops.segment_sum(
+                (contrib * ok[..., None]).reshape(-1, X),
+                seg.reshape(-1), num_segments=nb + 1,
+            )[:nb]
+
         def F_of(xbuf):
             xe = xbuf[Tl]
             return jnp.einsum("ekr,ekc->erc", xe, dphi), xe
@@ -334,14 +378,16 @@ def vp_newton_step(
         tgtbuf0 = halo(tgt)
 
         def newton_cond(carry):
-            xx, ss, ll, it, E_prev, dec, res, cg_sum = carry
+            (xx, ss, ll, ccd_d, ccla, ccact, it, E_prev, dec, res,
+             cg_sum) = carry
             return jnp.logical_and(
                 it < outer,
                 jnp.logical_and(dec > config.newton_tol, res > 1e-12),
             )
 
         def newton_body(carry):
-            xx, ss, ll, it, E_prev, dec, res, cg_sum = carry
+            (xx, ss, ll, ccd_d, ccla, ccact, it, E_prev, dec, res,
+             cg_sum) = carry
             xbuf = halo(xx)
             F, _ = F_of(xbuf)
             R, S = rotation.polar(F, d)
@@ -353,6 +399,22 @@ def vp_newton_step(
             )
             Gw = coeffs.Gw * em[:, None, None, None]
 
+            # mixed-contact lifecycle at the iterate (the mc.update
+            # activation/persistence semantics, replicated on gathered
+            # frame vertices — mixed_ipc.cpp:199-391)
+            if use_contact:
+                cverts = gather_frames(xx)
+                Dc = dist.frame_distance(cverts, cf.ftype)
+                Gxc = dist.frame_distance_grad(cverts, cf.ftype)
+                newly = jnp.logical_and(Dc < dhat, cf.fmask > 0)
+                keep = jnp.logical_and(ccact > 0, ccd_d < dhat)
+                was = ccact > 0
+                cdv = jnp.where(was, ccd_d, Dc)
+                clav = jnp.where(was, ccla, 0.0)
+                af = jnp.logical_or(newly, keep).astype(dtype)
+                gc, Hc = bar.mixed_barrier_grad_hess(cdv, dhat, kappa)
+                gc = gc * af
+
             # inertia gradient + rhs
             diff_buf = xbuf - tgtbuf0
             inertia = scatter_local(mass_apply(diff_buf)) * fm[:, None]
@@ -362,6 +424,11 @@ def vp_newton_step(
             b = -inertia + scatter_local(
                 -jnp.einsum("eikr,ei,e->ekr", G, y, vol)
             ) * fm[:, None]
+            if use_contact:
+                glc = Hc * (Dc - cdv) + gc
+                b = b + scatter_frames_own(
+                    -Gxc * (glc * af)[:, None, None]
+                ) * fm[:, None]
 
             # block-Jacobi from mass + Gw blocks
             eye_d = jnp.eye(d, dtype=dtype)
@@ -373,6 +440,11 @@ def vp_newton_step(
                 num_segments=nb + 2 * Bd,
             )
             blocks = unhalo_add(blk_buf).reshape(nb, d, d)
+            if use_contact:
+                Bc = jnp.einsum("ckr,cks,c->ckrs", Gxc, Gxc, Hc * af)
+                blocks = blocks + scatter_frames_own(
+                    Bc.reshape(nC, 4, d * d)
+                ).reshape(nb, d, d)
             mask = fm[:, None, None]
             blocks = blocks * mask + eye_d * (1.0 - mask)
             binv = pcgmod._small_inv(blocks)
@@ -435,7 +507,14 @@ def vp_newton_step(
                 out_e = jnp.einsum("ekl,eld->ekd", mc, pe)
                 q = jnp.einsum("eikr,ekr->ei", Gw, pe)
                 out_e = out_e + jnp.einsum("eikr,ei->ekr", Gw, q)
-                return scatter_local(out_e) * fm[:, None]
+                out = scatter_local(out_e) * fm[:, None]
+                if use_contact:
+                    pv = gather_frames(p)
+                    Gdx = jnp.einsum("ckd,ckd->c", Gxc, pv)
+                    out = out + scatter_frames_own(
+                        Gxc * (Hc * Gdx * af)[:, None, None]
+                    ) * fm[:, None]
+                return out
 
             # PCG with psum dots (warm start: explicit-Euler prediction)
             dx0 = (tgt - xx) * fm[:, None]
@@ -484,29 +563,79 @@ def vp_newton_step(
                 jax.lax.pmax(jnp.max(jnp.abs(ds)), "e"),
             )
 
+            # contact local solve (mc.local_solve) + merit terms
+            # (mixed_contact_merit): replicated per-frame algebra; added
+            # AFTER the psum'd element/inertia merit (counted once)
+            if use_contact:
+                dxv = gather_frames(dx)
+                Gdxc = jnp.einsum("ckd,ckd->c", Gxc, dxv)
+                cdd = ((Dc - cdv) + Gdxc) * af
+                cla_new = (Hc * cdd + gc) * af
+                dec_new = jnp.maximum(dec_new, jnp.max(jnp.abs(cdd)))
+
+                from mixedfem_tpu.variables import mixed_collision as mcmod
+
+                def contact_merit(vt, cd_t):
+                    D_t = dist.frame_distance(vt, cf.ftype)
+                    act_prev = af > 0
+                    d_eff = jnp.where(act_prev, cd_t, D_t)
+                    act = jnp.logical_or(
+                        act_prev,
+                        jnp.logical_and(D_t < dhat, cf.fmask > 0),
+                    )
+                    e = mcmod.energy(
+                        d_eff, act.astype(dtype), dhat, kappa, dtype
+                    )
+                    mm = jnp.logical_and(
+                        act_prev,
+                        jnp.logical_or(D_t <= dhat, cd_t <= dhat),
+                    ).astype(dtype)
+                    return e + jnp.sum(cla_new * (D_t - cd_t) * mm)
+            else:
+                cdd, cla_new = jnp.zeros_like(ccd_d), ccla
+                cdv = ccd_d
+                af = ccact
+
             E = merit(xx, ss, la_new, tgtbuf0)
+            if use_contact:
+                E = E + contact_merit(cverts, cdv)
             res_new = jnp.abs((E - E_prev) / (E + 1e-6))
+
+            # CCD step-size clamp (newton_optimizer.cpp:49-61)
+            if use_contact and config.enable_ccd:
+                alpha0 = 0.9 * accdmod.accd_alpha_verts(
+                    cverts, dxv, cf.ftype, cf.fmask
+                )
+            else:
+                alpha0 = jnp.asarray(1.0, dtype)
 
             def ls_cond(c):
                 a, kk = c
                 Ea = merit(xx + a * dx, ss + a * ds, la_new, tgtbuf0)
+                if use_contact:
+                    Ea = Ea + contact_merit(
+                        cverts + a * dxv, cdv + a * cdd
+                    )
                 return jnp.logical_and(kk < config.ls_iters, Ea >= E)
 
             alpha, ls_k = jax.lax.while_loop(
                 ls_cond, lambda c: (c[0] * 0.5, c[1] + 1),
-                (jnp.asarray(1.0, dtype), jnp.zeros((), jnp.int32)),
+                (alpha0, jnp.zeros((), jnp.int32)),
             )
             accept = (ls_k < config.ls_iters).astype(dtype)
             xx = xx + accept * alpha * dx
             ss = ss + accept * alpha * ds
-            return (xx, ss, la_new, it + 1, E, dec_new, res_new,
-                    cg_sum + cg_it)
+            cd_next = cdv + accept * alpha * cdd
+            return (xx, ss, la_new, cd_next, cla_new, af, it + 1, E,
+                    dec_new, res_new, cg_sum + cg_it)
 
         big = jnp.asarray(jnp.inf, dtype)
-        xx, ss, ll, it, E, dec, res, cg_sum = jax.lax.while_loop(
+        zC = jnp.zeros((nC,), dtype)
+        (xx, ss, ll, _cd, _cla, _cact, it, E, dec, res,
+         cg_sum) = jax.lax.while_loop(
             newton_cond, newton_body,
-            (x0, s0, la0, jnp.zeros((), jnp.int32), jnp.zeros((), dtype),
-             big, big, jnp.zeros((), jnp.int32)),
+            (x0, s0, la0, zC, zC, zC, jnp.zeros((), jnp.int32),
+             jnp.zeros((), dtype), big, big, jnp.zeros((), jnp.int32)),
         )
         return xx[None], ss[None], ll[None], it, dec, cg_sum
 
