@@ -376,6 +376,223 @@ def newton_step(
         and state.R.shape[0] == mesh.T.shape[0]
     )
 
+    # Feature-major fast path (ops/rows.py): on structured-grid 3D solid
+    # mixed-stretch steps the ENTIRE per-Newton pipeline — corner gather,
+    # polar, ds/dF, material derivatives, PSD fix, W assembly, rhs,
+    # local solve, and an alpha-parametrized line-search merit — runs on
+    # (feature, E) rows with the element batch on the lane axis. The
+    # element-major pipeline measured 56 ms of per-Newton fixed work at
+    # 100k tets (~95% layout overhead, tools/attribute.py); this path
+    # removes every (E, small, small) tensor from the hot loop.
+    use_stencil_rows = (
+        isinstance(matvec_plan, stmod.StencilPlan)
+        and use_mixed
+        and not use_vanilla
+        and not mesh.shell
+        and not mesh.rod
+        and mesh.dim == 3
+        and mesh.T.shape[1] == 4
+        and not hp
+        and solver in ("pcg", "pcg-block-jacobi")
+        and not (use_contact or use_vcollision or use_friction)
+        and (coarse is None or coarse.grid is not None)
+        and not warm_R
+        and not config.record_vanilla_gradient
+        # the merit's inertia term uses blend=1 (displacement.energy);
+        # the row path folds target into one lattice vector, so require
+        # the gradient target (blend=cfg) to coincide with it
+        and config.inertia_blend_factor == 1.0
+    )
+    if use_stencil_rows:
+        from mixedfem_tpu.ops import rows as rowsmod
+        from mixedfem_tpu.ops import sym as symmod
+
+        plan_r = matvec_plan
+        E_, k_ = mesh.T.shape
+        # per-step hoists (static per mesh/step; the two transposes below
+        # are the ONLY element-major layout conversions on this path)
+        dphi_rows = mesh.dphidX.reshape(E_, 3 * k_).T        # (12, E)
+        mass_rows = mesh.mass_coeff.reshape(E_, k_ * k_).T   # (16, E)
+        target_l = stmod.to_lat(plan_r, target)              # (3, npad)
+        targ_e = stmod.gather_corners_lat(plan_r, target_l)  # (12, E)
+        fm_l_row = stmod.to_lat(
+            plan_r,
+            jnp.broadcast_to(
+                mesh.free_mask[:, None], (mesh.nv, 3)
+            ).astype(dtype),
+        )
+        wsym_r = symmod.sym_weights(3, dtype=dtype)
+        syminv_r = symmod.syminv_weights(3, dtype=dtype)
+
+        def _F_rows(corners):
+            """(12, E) corner rows -> 9 deformation-gradient rows."""
+            return [
+                sum(corners[3 * kk + r] * dphi_rows[3 * kk + c]
+                    for kk in range(k_))
+                for r in range(3) for c in range(3)
+            ]
+
+        def _mass_rows_apply(corners):
+            """Consistent-mass contraction on corner rows: (12,)->(12,)."""
+            return [
+                sum(mass_rows[k_ * kk + l] * corners[3 * l + r]
+                    for l in range(k_))
+                for kk in range(k_) for r in range(3)
+            ]
+
+    def _newton_body_rows(carry):
+        x, s_r, la_r, cd, cla, cact, it, E_prev, dec, res, stats, Rcur = carry
+        x_l = stmod.to_lat(plan_r, x)
+        xe = stmod.gather_corners_lat(plan_r, x_l)          # (12, E)
+        F = _F_rows(xe)
+        s_list = [s_r[i] for i in range(6)]
+        cr = ms.update_rows(
+            F, s_list, dphi_rows, mesh.vols, mesh.mu, mesh.lam,
+            mesh.model_id, mesh.models, dt,
+        )
+        G, Gw, H, g6, Sv = cr["G"], cr["Gw"], cr["H"], cr["g"], cr["Sv"]
+        W_st = stmod.assemble_W_from_rows(
+            plan_r, jnp.stack(Gw), mass_rows, N=6, k=k_, d=3
+        )
+        blocks = stmod.diag_blocks(plan_r, W_st)
+
+        # rhs rows: contrib = -vol G^T (H (Sv - s) + g)  (ms.rhs_contrib)
+        dsv = [Sv[i] - s_list[i] for i in range(6)]
+        y6 = rowsmod.symmatvec6_rows(H, dsv)
+        y6 = [y6[i] + g6[i] for i in range(6)]
+        rhs12 = [
+            -mesh.vols * sum(G[12 * i + a] * y6[i] for i in range(6))
+            for a in range(3 * k_)
+        ]
+        diffe = [xe[a] - targ_e[a] for a in range(3 * k_)]
+        mg12 = _mass_rows_apply(diffe)
+        Min_l = stmod.scatter_rows_lat(plan_r, jnp.stack(mg12), 3)
+        rhs_l = stmod.scatter_rows_lat(plan_r, jnp.stack(rhs12), 3)
+        b_l = (rhs_l - Min_l) * fm_l_row
+
+        # two-level / block-Jacobi lattice CG (same solve as the
+        # element-major stencil branch below)
+        eye_d = jnp.eye(3, dtype=dtype)
+        maskv = mesh.free_mask[:, None, None]
+        blocks_reg = blocks * maskv + eye_d * (1.0 - maskv)
+        binv = pcgmod._small_inv(blocks_reg) * maskv
+        Minv_lat = stmod.lattice_two_level_preconditioner(
+            plan_r, coarse, mesh.free_mask, binv, 3
+        )
+        if coarse is not None:
+            def Minv_l(rl):
+                return Minv_lat(rl, Ac_inv)
+        else:
+            Minv_l = Minv_lat
+
+        def A_l(pl_):
+            return stmod.matvec_lat(plan_r, W_st, pl_) * fm_l_row
+
+        dx0_l = (target_l - x_l) * fm_l_row
+        dx_l, cg_iters, cg_err = pcgmod.pcg(
+            A_l, b_l, dx0_l, Minv_l,
+            max_iters=config.max_iterative_solver_iters,
+            tol=config.itr_tol,
+        )
+
+        # local recovery rows (ms.local_solve)
+        dxe = stmod.gather_corners_lat(plan_r, dx_l)
+        ds6 = [
+            dsv[i] + sum(G[12 * i + a] * dxe[a] for a in range(3 * k_))
+            for i in range(6)
+        ]
+        hds = rowsmod.symmatvec6_rows(H, ds6)
+        la6 = [syminv_r[i] * (hds[i] + g6[i]) for i in range(6)]
+        dec_new = jnp.maximum(
+            jnp.max(jnp.abs(dx_l)), jnp.max(jnp.abs(jnp.stack(ds6)))
+        )
+
+        # alpha-parametrized merit: def_grad is LINEAR in x, so
+        # F(x + a dx) = F + a dF with dF hoisted out of the line-search
+        # loop, and the inertia term is an exact quadratic in a — each
+        # trial evaluation is one rows-polar + psi + dots, no gathers.
+        diff_l = x_l - target_l
+        E_in0 = 0.5 * jnp.vdot(diff_l, Min_l)
+        gin = jnp.vdot(Min_l, dx_l)
+        Mdx_l = stmod.scatter_rows_lat(
+            plan_r, jnp.stack(_mass_rows_apply(dxe)), 3
+        )
+        dxMdx = jnp.vdot(dx_l, Mdx_l)
+        dF = _F_rows(dxe)
+
+        def merit_alpha(a):
+            s_a = [s_list[i] + a * ds6[i] for i in range(6)]
+            Fa = [F[q] + a * dF[q] for q in range(9)]
+            _, Sva = rowsmod.polar33_rows(Fa)
+            psi = rowsmod.psi_rows(
+                s_a, mesh.mu, mesh.lam, mesh.model_id, mesh.models
+            )
+            constr = jnp.sum(
+                mesh.vols
+                * sum(wsym_r[i] * la6[i] * (Sva[i] - s_a[i])
+                      for i in range(6))
+            )
+            return (
+                E_in0 + a * gin + 0.5 * a * a * dxMdx
+                + h2 * jnp.sum(mesh.vols * psi) + constr
+            )
+
+        # base-point merit reuses Sv (same x -> identical polar)
+        psi0 = rowsmod.psi_rows(
+            s_list, mesh.mu, mesh.lam, mesh.model_id, mesh.models
+        )
+        E = (
+            E_in0 + h2 * jnp.sum(mesh.vols * psi0)
+            + jnp.sum(
+                mesh.vols
+                * sum(wsym_r[i] * la6[i] * dsv[i] for i in range(6))
+            )
+        )
+        res_new = jnp.abs((E - E_prev) / (E + 1e-6))
+
+        if config.ls_strict:
+            eps_E = jnp.zeros((), dtype)
+        else:
+            eps_E = 16.0 * jnp.finfo(dtype).eps * jnp.abs(E)
+
+        def ls_cond(c):
+            a, k = c
+            return jnp.logical_and(
+                k < config.ls_iters, merit_alpha(a) >= E + eps_E
+            )
+
+        def ls_body(c):
+            a, k = c
+            return (a * 0.5, k + 1)
+
+        alpha, ls_k = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(1.0, dtype), jnp.zeros((), jnp.int32)),
+        )
+        accept = (ls_k < config.ls_iters).astype(dtype)
+        x_new = x + accept * alpha * stmod.from_lat(plan_r, dx_l)
+        s_new = jnp.stack(
+            [s_list[i] + accept * alpha * ds6[i] for i in range(6)]
+        )
+        la_new = jnp.stack(la6)
+
+        stats = stats.replace(
+            energy=stats.energy.at[it].set(E),
+            energy_res=stats.energy_res.at[it].set(res_new),
+            decrement=stats.decrement.at[it].set(dec_new),
+            alpha=stats.alpha.at[it].set(alpha),
+            solver_iters=stats.solver_iters.at[it].set(cg_iters),
+            solver_error=stats.solver_error.at[it].set(cg_err),
+            vanilla_grad=stats.vanilla_grad.at[it].set(
+                jnp.zeros((), dtype)
+            ),
+            iterations=it + 1,
+        )
+        return (
+            x_new, s_new, la_new, cd, cla, cact,
+            it + 1, E, dec_new, res_new, stats, Rcur,
+        )
+
     def newton_cond(carry):
         x, s, la, cd, cla, cact, it, E_prev, dec, res, stats, Rcur = carry
         return jnp.logical_and(
@@ -384,6 +601,8 @@ def newton_step(
         )
 
     def newton_body(carry):
+        if use_stencil_rows:
+            return _newton_body_rows(carry)
         x, s, la, cd, cla, cact, it, E_prev, dec, res, stats, Rcur = carry
 
         # --- update_system: rotations, derivatives (mixed_stretch.update)
@@ -1058,8 +1277,9 @@ def newton_step(
     C = cf.frames.shape[0]
     init = (
         state.x,
-        state.s,
-        state.la,
+        # the rows fast path carries (s, la) feature-major (6, E)
+        state.s.T if use_stencil_rows else state.s,
+        state.la.T if use_stencil_rows else state.la,
         jnp.zeros((C,), dtype),   # mixed contact distances (fresh per step,
         jnp.zeros((C,), dtype),   # la) — MixedCollision::post_solve clears
         jnp.zeros((C,), dtype),   # active mask (frames re-detected in-loop)
@@ -1072,6 +1292,8 @@ def newton_step(
     )
     (x, s, la, cd, cla, cact, it, E_prev, dec, res, stats,
      R_out) = jax.lax.while_loop(newton_cond, newton_body, init)
+    if use_stencil_rows:
+        s, la = s.T, la.T
 
     # --- scripted Dirichlet BC motion (mesh update_bcs, meshes.cpp:188-208)
     V = x

@@ -112,6 +112,33 @@ def update(
     )
 
 
+def update_rows(F, s_rows, dphi_rows, vols, mu, lam, model_id, models, dt):
+    """Feature-major update (ops/rows.py pipeline): F (9, E) rows,
+    s_rows (6, E) list, dphi_rows (12, E) -> dict of row lists. Same math
+    as update() for the 3D solid path, with the element batch on the lane
+    axis end-to-end (no (E, N, k, d) tensors; parity-tested in
+    tests/test_rows.py). Consumed by the stencil fast path in
+    optimizer/newton.py."""
+    from mixedfem_tpu.ops import rows as rowsmod
+
+    h2 = dt * dt
+    s_list = [s_rows[i] for i in range(6)]
+    R, Sv = rowsmod.polar33_rows(F)
+    D = rowsmod.dsdF33_rows(R, Sv)
+    G = rowsmod.contract_D_dphi_rows(D, dphi_rows)
+    Hraw = [h2 * h for h in rowsmod.hess_rows(
+        s_list, mu, lam, model_id, models)]
+    H, Hinv, Hs, evals = rowsmod.psd6_rows(Hraw, tol=1e-8)
+    g = [h2 * gi for gi in rowsmod.grad_rows(
+        s_list, mu, lam, model_id, models)]
+    sq = jnp.sqrt(vols)
+    Gw = [sq * y for y in rowsmod.contract_sym6_rows(Hs, G)]
+    return {
+        "R": R, "Sv": Sv, "G": G, "Gw": Gw, "H": H, "Hinv": Hinv,
+        "g": g, "max_evals": evals,
+    }
+
+
 def rhs_contrib(mesh: meshmod.MeshData, c: StretchCoeffs, s: jnp.ndarray):
     """Per-element-corner rhs contributions (E, k, d) (pre-assembly)."""
     y = jnp.einsum("eij,ej->ei", c.H, c.Sv - s) + c.g       # (E, N)
